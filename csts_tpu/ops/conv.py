@@ -1,0 +1,188 @@
+"""3-D convolution / pooling primitives, channels-last (NDHWC), XLA-native.
+
+These are the TPU equivalents of the cuDNN ops the reference leans on
+(``nn.Conv3d`` / ``nn.ConvTranspose3d`` / ``nn.MaxPool3d`` in
+``slowfast/models/attention.py`` and ``stem_helper.py``). Everything here is expressed
+through ``lax.conv_general_dilated`` / ``lax.reduce_window`` so XLA can tile the work
+onto the MXU and fuse surrounding elementwise ops.
+
+Layout convention (TPU-first): activations are ``(B, T, H, W, C)`` — channels last, so
+the channel dim maps onto the 128-wide lane dimension of the VPU/MXU. Weights are
+``(kT, kH, kW, C_in_per_group, C_out)`` (DHWIO). The torch→jax checkpoint converter
+transposes from torch's OIDHW at load time.
+
+Numerical-parity notes (validated against torch CPU in tests/test_ops_parity.py):
+* padding is symmetric SAME-style pairs, matching torch's single-int padding,
+* transposed conv reproduces ``nn.ConvTranspose3d(stride, padding, output_padding)``
+  exactly via lhs dilation + flipped kernels (attention.py:344-349),
+* max pool pads with -inf like torch (padding never wins the max).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+_DIMSPEC = ("NDHWC", "DHWIO", "NDHWC")
+
+# fp32 inputs use full-precision convs (TPU's DEFAULT would silently drop to bf16
+# passes — a 3e-3 error against the torch goldens). bf16 speed is opted into by
+# feeding bf16 activations, not by lowering fp32 precision.
+_PRECISION = lax.Precision.HIGHEST
+
+
+def conv3d_init(
+    key: jax.Array,
+    dim_in: int,
+    dim_out: int,
+    kernel: Sequence[int],
+    groups: int = 1,
+    bias: bool = True,
+    dtype=jnp.float32,
+) -> dict:
+    """Kaiming-uniform init matching torch Conv3d's default (for from-scratch training)."""
+    kt, kh, kw = kernel
+    fan_in = (dim_in // groups) * kt * kh * kw
+    bound = float(1.0 / np.sqrt(fan_in)) if fan_in > 0 else 0.0
+    wkey, bkey = jax.random.split(key)
+    # Torch uses kaiming_uniform(a=sqrt(5)) => U(-sqrt(6/((1+5)*fan_in)), ...) = U(-1/sqrt(fan_in),...)
+    w = jax.random.uniform(
+        wkey, (kt, kh, kw, dim_in // groups, dim_out), dtype, minval=-bound, maxval=bound
+    )
+    params = {"w": w}
+    if bias:
+        params["b"] = jax.random.uniform(bkey, (dim_out,), dtype, minval=-bound, maxval=bound)
+    return params
+
+
+def conv3d(
+    params: dict,
+    x: jax.Array,
+    stride: Sequence[int],
+    padding: Sequence[int],
+    groups: int = 1,
+) -> jax.Array:
+    """Standard conv, ``x``: (B, T, H, W, C_in) -> (B, T', H', W', C_out)."""
+    pad = [(int(p), int(p)) for p in padding]
+    w = params["w"]
+    out = lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=tuple(int(s) for s in stride),
+        padding=pad,
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=groups,
+        precision=_PRECISION,
+    )
+    if "b" in params:
+        out = out + params["b"].astype(x.dtype)
+    return out
+
+
+def depthwise_conv3d(
+    w: jax.Array,
+    x: jax.Array,
+    stride: Sequence[int],
+    padding: Sequence[int],
+) -> jax.Array:
+    """Depthwise conv (groups == channels), the attention q/k/v pooling op.
+
+    ``w``: (kT, kH, kW, 1, C); ``x``: (B, T, H, W, C). Equivalent of the per-head
+    ``nn.Conv3d(head_dim, head_dim, groups=head_dim, bias=False)`` in
+    ``attention.py:104-116`` — callers tile the per-head weight across heads so all
+    heads run as one fused depthwise conv instead of a B*heads batched loop.
+    """
+    c = x.shape[-1]
+    pad = [(int(p), int(p)) for p in padding]
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=tuple(int(s) for s in stride),
+        padding=pad,
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=c,
+        precision=_PRECISION,
+    )
+
+
+def depthwise_conv_transpose3d(
+    w: jax.Array,
+    x: jax.Array,
+    stride: Sequence[int],
+    padding: Sequence[int],
+    output_padding: Sequence[int],
+) -> jax.Array:
+    """Depthwise transposed conv == torch ``nn.ConvTranspose3d(..., groups=C)``.
+
+    The reference's decoder Q-upsample (``attention.py:344-349``). Expressed the
+    TPU-native way: an lhs-dilated convolution with spatially flipped kernels —
+    ``out[(i)] = sum_k x_up[i+k'] * w_flip[k']`` where ``x_up`` is the input dilated by
+    ``stride`` and padded ``k-1-p`` low / ``k-1-p+output_padding`` high. This is exactly
+    the gradient-of-conv formulation XLA compiles to a single fused op.
+
+    ``w``: (kT, kH, kW, 1, C), stored in natural DHWIO order; the spatial flip happens
+    here so the torch→jax converter stays a pure transpose.
+    """
+    c = x.shape[-1]
+    k = w.shape[:3]
+    pad = [
+        (int(k[d] - 1 - padding[d]), int(k[d] - 1 - padding[d] + output_padding[d]))
+        for d in range(3)
+    ]
+    w_flipped = jnp.flip(w, axis=(0, 1, 2))
+    return lax.conv_general_dilated(
+        x,
+        w_flipped.astype(x.dtype),
+        window_strides=(1, 1, 1),
+        padding=pad,
+        lhs_dilation=tuple(int(s) for s in stride),
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=c,
+        precision=_PRECISION,
+    )
+
+
+def max_pool3d(
+    x: jax.Array,
+    kernel: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+) -> jax.Array:
+    """Torch-parity MaxPool3d (ceil_mode=False, -inf padding). attention.py:234-236."""
+    kt, kh, kw = (int(v) for v in kernel)
+    pad = [(0, 0)] + [(int(p), int(p)) for p in padding] + [(0, 0)]
+    neg_inf = (
+        -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    )
+    return lax.reduce_window(
+        x,
+        neg_inf,
+        lax.max,
+        window_dimensions=(1, kt, kh, kw, 1),
+        window_strides=(1, *(int(s) for s in stride), 1),
+        padding=pad,
+    )
+
+
+def avg_pool3d(
+    x: jax.Array,
+    kernel: Sequence[int],
+    stride: Sequence[int],
+    padding: Sequence[int],
+) -> jax.Array:
+    """Torch-parity AvgPool3d (count_include_pad=True, matching torch's default)."""
+    kt, kh, kw = (int(v) for v in kernel)
+    pad = [(0, 0)] + [(int(p), int(p)) for p in padding] + [(0, 0)]
+    summed = lax.reduce_window(
+        x,
+        jnp.zeros((), x.dtype),
+        lax.add,
+        window_dimensions=(1, kt, kh, kw, 1),
+        window_strides=(1, *(int(s) for s in stride), 1),
+        padding=pad,
+    )
+    return summed / (kt * kh * kw)
