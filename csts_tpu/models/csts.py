@@ -1,0 +1,483 @@
+"""CSTS: audio-visual egocentric gaze model, TPU-native.
+
+Capability-parity rebuild of the reference architecture
+(``slowfast/models/custom_multimodal_builder.py:19-499``): dual-branch MViT encoder
+(16-block video / 4-block audio), correlation-based spatial+temporal audio-visual
+fusion, and a 4-block transformer decoder emitting per-frame gaze heatmap logits
+``(B, T_out, 64, 64, 1)`` (channels-last here; the reference emits (B, 1, 8, 64, 64)).
+
+Everything static (block dims/strides/thw trajectories, the fusion mask) is derived
+once at spec-build time; ``csts_apply`` is a pure function of (params, inputs, rng)
+that jits to a single XLA program with no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csts_tpu import ops
+from csts_tpu.config import Config
+from csts_tpu.models import mvit
+from csts_tpu.models.mvit import AttentionSpec, THW, round_width
+
+
+@dataclasses.dataclass(frozen=True)
+class CSTSSpec:
+    """All static metadata for one CSTS instantiation."""
+
+    # inputs
+    crop_size: int
+    num_frames: int
+    in_chans: int
+    patch_kernel: Tuple[int, ...]
+    patch_stride: Tuple[int, ...]
+    patch_padding: Tuple[int, ...]
+    embed_dim: int
+    patch_dims: THW  # (T, H, W) of the token grid after the stem
+    sep_pos_embed: bool
+    # encoder
+    video_blocks: Tuple[AttentionSpec, ...]
+    audio_blocks: Tuple[AttentionSpec, ...]
+    # execution groups: video blocks [0:g0], [g0:g1], ... interleaved with audio blocks
+    video_groups: Tuple[Tuple[int, int], ...]
+    audio_groups: Tuple[Tuple[int, int], ...]
+    # fusion
+    token_dim: int
+    fusion_thw: THW  # (4, 8, 8)
+    spatial_fusion: AttentionSpec
+    temporal_fusion: AttentionSpec
+    spatial_audio_attn: bool
+    # decoder
+    decoder_blocks: Tuple[AttentionSpec, ...]
+    # losses
+    use_nce: bool
+    nce_embed_dim: int = 256
+    # compute
+    dtype: str = "float32"
+
+    @property
+    def compute_dtype(self):
+        return jnp.bfloat16 if self.dtype == "bfloat16" else jnp.float32
+
+
+def build_spec(cfg: Config) -> CSTSSpec:
+    """Derive the block-by-block architecture from config.
+
+    Replicates the reference's constructor math exactly
+    (``custom_multimodal_builder.py:25-301``): DIM_MUL/HEAD_MUL progressive widening
+    with ``round_width``, POOL_KV_STRIDE_ADAPTIVE shrinking past each Q-pool stage,
+    the hard-coded 4-block audio branch, fusion blocks, and the 4-block decoder.
+    """
+    assert cfg.DATA.TRAIN_CROP_SIZE == cfg.DATA.TEST_CROP_SIZE
+    assert not cfg.MVIT.CLS_EMBED_ON, "CSTS runs without a cls token (yaml: CLS_EMBED_ON False)"
+    assert cfg.MVIT.MODE == "conv"
+    assert cfg.MVIT.NORM == "layernorm"
+
+    spatial_size = cfg.DATA.TRAIN_CROP_SIZE
+    temporal_size = cfg.DATA.NUM_FRAMES
+    patch_stride = tuple(cfg.MVIT.PATCH_STRIDE)
+    patch_dims = (
+        temporal_size // patch_stride[0],
+        spatial_size // patch_stride[1],
+        spatial_size // patch_stride[2],
+    )
+    depth = cfg.MVIT.DEPTH
+    drop_path_rate = cfg.MVIT.DROPPATH_RATE
+    dpr = [float(x) for x in np.linspace(0, drop_path_rate, depth)]
+
+    dim_mul = np.ones(depth + 1)
+    head_mul = np.ones(depth + 1)
+    for idx, mul in cfg.MVIT.DIM_MUL:
+        dim_mul[int(idx)] = mul
+    for idx, mul in cfg.MVIT.HEAD_MUL:
+        head_mul[int(idx)] = mul
+
+    pool_q = [() for _ in range(depth)]
+    pool_kv = [() for _ in range(depth)]
+    stride_q = [() for _ in range(depth)]
+    stride_kv = [() for _ in range(depth)]
+
+    for entry in cfg.MVIT.POOL_Q_STRIDE:
+        i = int(entry[0])
+        stride_q[i] = tuple(int(s) for s in entry[1:])
+        if cfg.MVIT.POOL_KVQ_KERNEL is not None:
+            pool_q[i] = tuple(cfg.MVIT.POOL_KVQ_KERNEL)
+        else:
+            pool_q[i] = tuple(s + 1 if s > 1 else s for s in stride_q[i])
+
+    if cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE is not None:
+        _stride_kv = list(cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE)
+        pool_kv_stride = []
+        for i in range(depth):
+            if len(stride_q[i]) > 0:
+                _stride_kv = [max(_stride_kv[d] // stride_q[i][d], 1) for d in range(3)]
+            pool_kv_stride.append([i] + list(_stride_kv))
+    else:
+        pool_kv_stride = cfg.MVIT.POOL_KV_STRIDE or []
+
+    for entry in pool_kv_stride:
+        i = int(entry[0])
+        stride_kv[i] = tuple(int(s) for s in entry[1:])
+        if cfg.MVIT.POOL_KVQ_KERNEL is not None:
+            pool_kv[i] = tuple(cfg.MVIT.POOL_KVQ_KERNEL)
+        else:
+            pool_kv[i] = tuple(s + 1 if s > 1 else s for s in stride_kv[i])
+
+    video_blocks = []
+    num_heads = cfg.MVIT.NUM_HEADS
+    embed_dim = cfg.MVIT.EMBED_DIM
+    for i in range(depth):
+        num_heads = round_width(num_heads, head_mul[i])
+        embed_dim = round_width(embed_dim, dim_mul[i], divisor=num_heads)
+        dim_out = round_width(
+            embed_dim, dim_mul[i + 1], divisor=round_width(num_heads, head_mul[i + 1])
+        )
+        video_blocks.append(
+            AttentionSpec(
+                dim=embed_dim,
+                dim_out=dim_out,
+                num_heads=num_heads,
+                mlp_ratio=cfg.MVIT.MLP_RATIO,
+                qkv_bias=cfg.MVIT.QKV_BIAS,
+                drop_path=dpr[i],
+                kernel_q=pool_q[i],
+                kernel_kv=pool_kv[i],
+                stride_q=stride_q[i],
+                stride_kv=stride_kv[i],
+            )
+        )
+
+    # Audio branch: 4 hard-coded blocks (custom_multimodal_builder.py:184-191).
+    audio_dims = [96, 192, 384, 768]
+    audio_dims_out = [192, 384, 768, 768]
+    audio_heads = [1, 2, 4, 8]
+    audio_kernel_q = [(), (3, 3, 3), (3, 3, 3), (3, 3, 3)]
+    audio_kernel_kv = [(3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)]
+    audio_stride_q = [(), (1, 2, 2), (1, 2, 2), (1, 2, 2)]
+    audio_stride_kv = [(1, 8, 8), (1, 4, 4), (1, 2, 2), (1, 1, 1)]
+    audio_blocks = tuple(
+        AttentionSpec(
+            dim=audio_dims[i],
+            dim_out=audio_dims_out[i],
+            num_heads=audio_heads[i],
+            mlp_ratio=cfg.MVIT.MLP_RATIO,
+            qkv_bias=cfg.MVIT.QKV_BIAS,
+            drop_path=0.0,  # audio blocks ship without stochastic depth (:204)
+            kernel_q=audio_kernel_q[i],
+            kernel_kv=audio_kernel_kv[i],
+            stride_q=audio_stride_q[i],
+            stride_kv=audio_stride_kv[i],
+        )
+        for i in range(4)
+    )
+
+    token_dim = video_blocks[-1].dim_out
+    # The interleaved execution groups (custom_multimodal_builder.py:386-411).
+    video_groups = ((0, 1), (1, 3), (3, 14), (14, depth))
+    audio_groups = ((0, 1), (1, 2), (2, 3), (3, 4))
+
+    fusion_thw = _thw_after_blocks(patch_dims, video_blocks)
+
+    fusion_common = dict(
+        dim=token_dim,
+        dim_out=token_dim,
+        num_heads=num_heads,  # the post-loop value, 8 (:236)
+        mlp_ratio=cfg.MVIT.MLP_RATIO,
+        qkv_bias=cfg.MVIT.QKV_BIAS,
+        drop_path=0.0,
+        kernel_q=(),  # (1,1,1) kernels/strides in the reference => pooling skipped
+        kernel_kv=(),
+        stride_q=(),
+        stride_kv=(),
+    )
+    spatial_fusion = AttentionSpec(**fusion_common)
+    temporal_fusion = AttentionSpec(**fusion_common)
+
+    # Decoder: 4 hard-coded blocks (custom_multimodal_builder.py:271-299).
+    dec_dims = [768, 768, 384, 192]
+    dec_dims_out = [768, 384, 192, 96]
+    dec_heads = [8, 4, 4, 2]
+    dec_stride_q = [(1, 2, 2), (1, 2, 2), (1, 2, 2), (2, 1, 1)]
+    dec_stride_kv = [(1, 2, 2), (1, 4, 4), (1, 8, 8), (1, 16, 16)]
+    decoder_blocks = tuple(
+        AttentionSpec(
+            dim=dec_dims[i],
+            dim_out=dec_dims_out[i],
+            num_heads=dec_heads[i],
+            mlp_ratio=cfg.MVIT.MLP_RATIO,
+            qkv_bias=cfg.MVIT.QKV_BIAS,
+            drop_path=0.0,  # decoder ships without stochastic depth (:288)
+            kernel_q=(3, 3, 3),
+            kernel_kv=(3, 3, 3),
+            stride_q=dec_stride_q[i],
+            stride_kv=dec_stride_kv[i],
+            upsample_q=True,
+        )
+        for i in range(4)
+    )
+
+    return CSTSSpec(
+        crop_size=spatial_size,
+        num_frames=temporal_size,
+        in_chans=cfg.DATA.INPUT_CHANNEL_NUM[0],
+        patch_kernel=tuple(cfg.MVIT.PATCH_KERNEL),
+        patch_stride=patch_stride,
+        patch_padding=tuple(cfg.MVIT.PATCH_PADDING),
+        embed_dim=cfg.MVIT.EMBED_DIM,
+        patch_dims=patch_dims,
+        sep_pos_embed=cfg.MVIT.SEP_POS_EMBED,
+        video_blocks=tuple(video_blocks),
+        audio_blocks=audio_blocks,
+        video_groups=video_groups,
+        audio_groups=audio_groups,
+        token_dim=token_dim,
+        fusion_thw=fusion_thw,
+        spatial_fusion=spatial_fusion,
+        temporal_fusion=temporal_fusion,
+        spatial_audio_attn=cfg.MVIT.SPATIAL_AUDIO_ATTN,
+        decoder_blocks=decoder_blocks,
+        use_nce="nce" in cfg.MODEL.LOSS_FUNC,
+        dtype="bfloat16" if cfg.TRAIN.MIXED_PRECISION else "float32",
+    )
+
+
+def _conv_out(size: int, kernel: int, stride: int, padding: int) -> int:
+    return (size + 2 * padding - kernel) // stride + 1
+
+
+def _thw_after_blocks(thw: THW, blocks) -> THW:
+    t, h, w = thw
+    for b in blocks:
+        if b.pool_q_on:
+            for d, s in enumerate(b.stride_q):
+                k, p = b.kernel_q[d], b.kernel_q[d] // 2
+                if d == 0:
+                    t = _conv_out(t, k, s, p)
+                elif d == 1:
+                    h = _conv_out(h, k, s, p)
+                else:
+                    w = _conv_out(w, k, s, p)
+    return (t, h, w)
+
+
+# ----------------------------------------------------------------------------------
+# init
+# ----------------------------------------------------------------------------------
+
+
+def csts_init(key: jax.Array, spec: CSTSSpec, dtype=jnp.float32) -> dict:
+    keys = iter(jax.random.split(key, 64))
+    t, h, w = spec.patch_dims
+    p: dict = {
+        "patch_embed": ops.conv3d_init(
+            next(keys), spec.in_chans, spec.embed_dim, spec.patch_kernel, dtype=dtype
+        ),
+        "patch_embed_audio": ops.conv3d_init(
+            next(keys), 1, spec.embed_dim, spec.patch_kernel, dtype=dtype
+        ),
+    }
+    if spec.sep_pos_embed:
+        p["pos_embed_spatial"] = ops.trunc_normal(next(keys), (1, h * w, spec.embed_dim), dtype=dtype)
+        p["pos_embed_temporal"] = ops.trunc_normal(next(keys), (1, t, spec.embed_dim), dtype=dtype)
+        p["pos_embed_spatial_audio"] = ops.trunc_normal(next(keys), (1, h * w, spec.embed_dim), dtype=dtype)
+        p["pos_embed_temporal_audio"] = ops.trunc_normal(next(keys), (1, t, spec.embed_dim), dtype=dtype)
+    else:
+        n = t * h * w
+        p["pos_embed"] = ops.trunc_normal(next(keys), (1, n, spec.embed_dim), dtype=dtype)
+        p["pos_embed_audio"] = ops.trunc_normal(next(keys), (1, n, spec.embed_dim), dtype=dtype)
+
+    p["blocks"] = [mvit.multiscale_block_init(next(keys), b, dtype) for b in spec.video_blocks]
+    p["blocks_audio"] = [mvit.multiscale_block_init(next(keys), b, dtype) for b in spec.audio_blocks]
+
+    td = spec.token_dim
+    if spec.use_nce:
+        p["vision_proj"] = ops.linear_init(next(keys), td, spec.nce_embed_dim, dtype=dtype)
+        p["audio_proj"] = ops.linear_init(next(keys), td, spec.nce_embed_dim, dtype=dtype)
+    fh, fw = spec.fusion_thw[1], spec.fusion_thw[2]
+    p["vision_pool"] = ops.conv3d_init(next(keys), td, td, (1, fh, fw), dtype=dtype)
+    p["audio_pool"] = ops.conv3d_init(next(keys), td, td, (1, fh, fw), dtype=dtype)
+    p["audio_pool2"] = ops.conv3d_init(next(keys), td, td, (1, fh, fw), dtype=dtype)
+
+    p["temporal_fusion"] = mvit.multiscale_block_init(next(keys), spec.temporal_fusion, dtype)
+    p["spatial_fusion"] = mvit.multiscale_block_init(next(keys), spec.spatial_fusion, dtype)
+
+    for i, b in enumerate(spec.decoder_blocks):
+        p[f"decode_block{i+1}"] = mvit.multiscale_block_init(next(keys), b, dtype)
+
+    p["classifier"] = ops.conv3d_init(next(keys), spec.decoder_blocks[-1].dim_out, 1, (1, 1, 1), dtype=dtype)
+    return p
+
+
+# ----------------------------------------------------------------------------------
+# forward
+# ----------------------------------------------------------------------------------
+
+
+def _patch_embed(p: dict, spec: CSTSSpec, x: jax.Array) -> jax.Array:
+    """(B, T, H, W, C_in) -> (B, T'·H'·W', embed_dim) tokens (stem_helper.py:8-38)."""
+    out = ops.conv3d(p, x, spec.patch_stride, spec.patch_padding)
+    b = out.shape[0]
+    return out.reshape(b, -1, out.shape[-1])
+
+
+def _pos_embed(p: dict, spec: CSTSSpec, audio: bool) -> jax.Array:
+    """Separable pos embed: spatial tiled over T + temporal repeated over HW (:362-366)."""
+    t, h, w = spec.patch_dims
+    if spec.sep_pos_embed:
+        suffix = "_audio" if audio else ""
+        pe = jnp.tile(p[f"pos_embed_spatial{suffix}"], (1, t, 1)) + jnp.repeat(
+            p[f"pos_embed_temporal{suffix}"], h * w, axis=1
+        )
+        return pe
+    return p["pos_embed_audio" if audio else "pos_embed"]
+
+
+def _tokens_to_grid(x: jax.Array, thw: THW) -> jax.Array:
+    b, l, c = x.shape
+    return x.reshape(b, *thw, c)
+
+
+def csts_apply(
+    params: dict,
+    spec: CSTSSpec,
+    video: jax.Array,
+    audio: jax.Array,
+    *,
+    deterministic: bool = True,
+    rng: Optional[jax.Array] = None,
+    return_embed: bool = False,
+    return_spatial_attn: bool = False,
+    return_temporal_attn: bool = False,
+):
+    """Forward pass (custom_multimodal_builder.py:343-498).
+
+    Args:
+      video: (B, T, H, W, 3) channels-last frames (reference: (B, 3, T, H, W)).
+      audio: (B, T, F, S, 1) log-STFT slices (reference: (B, 1, T, 256, 256)).
+
+    Returns logits (B, T_out, H', W', 1), plus optional NCE embeddings / attention maps.
+    """
+    cdt = spec.compute_dtype
+    video = video.astype(cdt)
+    audio = audio.astype(cdt)
+
+    x = _patch_embed(params["patch_embed"], spec, video)
+    y = _patch_embed(params["patch_embed_audio"], spec, audio)
+    x = x + _pos_embed(params, spec, audio=False).astype(cdt)
+    y = y + _pos_embed(params, spec, audio=True).astype(cdt)
+
+    thw: THW = spec.patch_dims
+    thw_audio: THW = spec.patch_dims
+
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    n_blocks = len(spec.video_blocks)
+    dp_keys = jax.random.split(rng, n_blocks)
+
+    # Interleaved encoder groups, capturing the decoder skip features (:384-411).
+    inter_feat = [(x, thw)]
+    for gi, ((vs, ve), (as_, ae)) in enumerate(zip(spec.video_groups, spec.audio_groups)):
+        for i in range(vs, ve):
+            x, thw = mvit.multiscale_block_apply(
+                params["blocks"][i], spec.video_blocks[i], x, thw,
+                drop_path_key=dp_keys[i], deterministic=deterministic,
+            )
+        if gi < len(spec.video_groups) - 1:
+            inter_feat.append((x, thw))
+        for i in range(as_, ae):
+            y, thw_audio = mvit.multiscale_block_apply(
+                params["blocks_audio"][i], spec.audio_blocks[i], y, thw_audio,
+                deterministic=deterministic,
+            )
+
+    # ---------------- Spatial-temporal fusion (:413-462) ----------------
+    b = x.shape[0]
+    t, fh, fw = spec.fusion_thw
+    td = spec.token_dim
+
+    y_grid = _tokens_to_grid(y, thw_audio)  # (B, 4, 8, 8, 768)
+    # audio_pool: full Conv3d k(1,8,8) -> one audio token per frame (:420-421)
+    y_spatial = ops.conv3d(params["audio_pool"], y_grid, (1, 1, 1), (0, 0, 0))
+    y_spatial = y_spatial.reshape(b, t, td)
+
+    av_spatial = jnp.concatenate([x, y_spatial], axis=1)  # (B, THW+T, 768)
+    mask = jnp.asarray(mvit.build_inframe_mask(spec.fusion_thw, t))
+    need_audio_attn = spec.spatial_audio_attn
+    sf_out = mvit.multiscale_block_apply(
+        params["spatial_fusion"], spec.spatial_fusion, av_spatial, thw,
+        mask=mask, deterministic=deterministic,
+        return_attn=need_audio_attn or return_spatial_attn,
+    )
+    if need_audio_attn or return_spatial_attn:
+        av_spatial, _, spatial_attn = sf_out
+    else:
+        av_spatial, _ = sf_out
+        spatial_attn = None
+    n_video_tokens = x.shape[1]
+    x_spatial = av_spatial[:, :n_video_tokens]
+
+    # Temporal branch (:434-452)
+    x_grid = _tokens_to_grid(x, thw)
+    if spec.spatial_audio_attn:
+        audio_attn = mvit.extract_audio_attention(spatial_attn, spec.fusion_thw)
+        audio_attn = jnp.mean(audio_attn, axis=1)[..., None]  # (B, T, H, W, 1)
+        x_grid = x_grid * audio_attn.astype(cdt)
+    x_temporal = ops.conv3d(params["vision_pool"], x_grid, (1, 1, 1), (0, 0, 0)).reshape(b, t, td)
+    y_temporal = ops.conv3d(params["audio_pool2"], y_grid, (1, 1, 1), (0, 0, 0)).reshape(b, t, td)
+
+    av_temporal = jnp.concatenate([x_temporal, y_temporal], axis=1)  # (B, 2T, 768)
+    tf_out = mvit.multiscale_block_apply(
+        params["temporal_fusion"], spec.temporal_fusion, av_temporal, (2, 2, 2),
+        deterministic=deterministic, return_attn=return_temporal_attn,
+    )
+    if return_temporal_attn:
+        av_temporal, _, temporal_attn = tf_out
+    else:
+        av_temporal, _ = tf_out
+        temporal_attn = None
+
+    # Reweight (:454-461): per-frame temporal weights scale spatially-fused tokens.
+    x_weights = av_temporal[:, :t]  # (B, T, 768)
+    x_reweight = _tokens_to_grid(x_spatial, thw) * x_weights[:, :, None, None, :]
+    x_reweight = x_reweight.reshape(b, n_video_tokens, td)
+    y_weights = av_temporal[:, t:]
+    y_reweight = y_grid * y_weights[:, :, None, None, :]
+    y_reweight = y_reweight.reshape(b, -1, td)
+
+    # ---------------- Decoder (:465-481) ----------------
+    feat = x_reweight
+    for i in range(len(spec.decoder_blocks)):
+        feat, thw = mvit.multiscale_block_apply(
+            params[f"decode_block{i+1}"], spec.decoder_blocks[i], feat, thw,
+            deterministic=deterministic,
+        )
+        if i < len(spec.decoder_blocks) - 1:
+            feat = feat + inter_feat[-(i + 1)][0]
+
+    feat_grid = _tokens_to_grid(feat, thw)
+    stem_feat, stem_thw = inter_feat[0]
+    stem_grid = _tokens_to_grid(stem_feat, stem_thw)
+    stem_up = ops.trilinear_resize(stem_grid, (stem_thw[0] * 2, stem_thw[1], stem_thw[2]))
+    feat_grid = feat_grid + stem_up
+    logits = ops.conv3d(params["classifier"], feat_grid, (1, 1, 1), (0, 0, 0))
+    # (B, T_out, H', W', 1)
+
+    if not return_embed and not return_spatial_attn and not return_temporal_attn:
+        return logits
+    if not return_embed:
+        out = [logits]
+        if return_spatial_attn:
+            out.append(spatial_attn)
+        if return_temporal_attn:
+            out.append(temporal_attn)
+        return out
+    # NCE embeddings (:492-498): mean-pool reweighted tokens then project.
+    x_embed = ops.linear_apply(params["vision_proj"], jnp.mean(x_reweight, axis=1))
+    y_embed = ops.linear_apply(params["audio_proj"], jnp.mean(y_reweight, axis=1))
+    return logits, x_embed, y_embed

@@ -1,0 +1,448 @@
+"""Multiscale Vision Transformer blocks, TPU-native.
+
+Functional re-design of the reference's block zoo:
+
+* ``MultiScaleAttention`` / ``MultiScaleBlock``  (attention.py:52-248)
+* ``MultiScaleDecoderAttention`` / ``MultiScaleDecoderBlock``  (attention.py:292-479)
+* ``TemporalAttention`` / ``TemporalBlock``  (av_attention.py:50-250)
+* ``SpatialAttention`` / ``SpatialBlock``  (av_attention.py:253-473)
+
+Design differences from the reference (deliberate, TPU-first):
+
+* channels-last token layout ``(B, L, C)`` with static ``thw`` carried in the spec —
+  no data-dependent shapes anywhere, so everything jits once;
+* the per-head depthwise q/k/v pooling convs run as ONE fused depthwise conv over all
+  heads (weight tiled across heads) instead of a ``B*heads``-batched conv;
+* the spatial-fusion in-frame mask (av_attention.py:336-346 builds it with a Python
+  loop on every forward) is precomputed once at spec-build time as a static constant;
+* attention probabilities are computed in fp32 regardless of activation dtype;
+* stochastic depth takes an explicit PRNG key (functional, reproducible).
+
+Every block is a pair ``*_init(key, spec) -> params`` / ``*_apply(params, spec, x, ...)``
+over plain dict pytrees, which keeps pjit sharding rules and the torch checkpoint
+converter straightforward.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from csts_tpu import ops
+
+
+def round_width(width: int, multiplier: float, min_width: int = 1, divisor: int = 1) -> int:
+    """Channel rounding rule (slowfast/models/utils.py:9-24)."""
+    if not multiplier:
+        return width
+    width *= multiplier
+    min_width = min_width or divisor
+    width_out = max(min_width, int(width + divisor / 2) // divisor * divisor)
+    if width_out < 0.9 * width:
+        width_out += divisor
+    return int(width_out)
+
+
+THW = Tuple[int, int, int]
+
+
+def _prod(xs) -> int:
+    out = 1
+    for x in xs:
+        out *= int(x)
+    return out
+
+
+@dataclasses.dataclass(frozen=True)
+class AttentionSpec:
+    """Static metadata for one attention block."""
+
+    dim: int
+    dim_out: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+    qkv_bias: bool = True
+    drop_path: float = 0.0
+    # () means "no pool op on that path" (attention.py:94-97 skip rule)
+    kernel_q: Tuple[int, ...] = ()
+    kernel_kv: Tuple[int, ...] = ()
+    stride_q: Tuple[int, ...] = ()
+    stride_kv: Tuple[int, ...] = ()
+    mode: str = "conv"
+    # decoder blocks upsample Q with ConvTranspose3d instead of pooling
+    upsample_q: bool = False
+
+    @property
+    def head_dim(self) -> int:
+        return self.dim // self.num_heads
+
+    @property
+    def scale(self) -> float:
+        return self.head_dim ** -0.5
+
+    @property
+    def pool_q_on(self) -> bool:
+        if not self.kernel_q:
+            return False
+        return not (_prod(self.kernel_q) == 1 and _prod(self.stride_q) == 1)
+
+    @property
+    def pool_kv_on(self) -> bool:
+        if not self.kernel_kv:
+            return False
+        return not (_prod(self.kernel_kv) == 1 and _prod(self.stride_kv) == 1)
+
+    @property
+    def padding_q(self) -> Tuple[int, ...]:
+        return tuple(int(k // 2) for k in self.kernel_q)
+
+    @property
+    def padding_kv(self) -> Tuple[int, ...]:
+        return tuple(int(k // 2) for k in self.kernel_kv)
+
+    @property
+    def output_padding_q(self) -> Tuple[int, ...]:
+        # attention.py:323 — outpadding = stride-1 where stride>1
+        return tuple(0 if s == 1 else s - 1 for s in self.stride_q)
+
+    @property
+    def skip_kernel(self) -> Tuple[int, ...]:
+        # attention.py:193 — kernel_skip = [s+1 if s>1 else s for s in stride_q]
+        return tuple(s + 1 if s > 1 else s for s in self.stride_q)
+
+    @property
+    def skip_pool_on(self) -> bool:
+        return len(self.skip_kernel) > 0
+
+    @property
+    def skip_upsample_on(self) -> bool:
+        # attention.py:463-467 — trilinear upsample unless all strides are 1
+        return bool(self.stride_q) and sum(self.stride_q) != len(self.stride_q)
+
+
+# ----------------------------------------------------------------------------------
+# attention-internal pooling / upsampling over all heads at once
+# ----------------------------------------------------------------------------------
+
+
+def _heads_to_grid(x: jax.Array, thw: THW) -> jax.Array:
+    """(B, N, L, hd) -> (B, T, H, W, N*hd), channel index = head*hd + d."""
+    b, n, l, hd = x.shape
+    t, h, w = thw
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h, w, n * hd)
+
+
+def _grid_to_heads(x: jax.Array, num_heads: int) -> Tuple[jax.Array, THW]:
+    b, t, h, w, c = x.shape
+    hd = c // num_heads
+    out = x.reshape(b, t * h * w, num_heads, hd).transpose(0, 2, 1, 3)
+    return out, (t, h, w)
+
+
+def pool_heads_conv(
+    x: jax.Array,
+    w: jax.Array,
+    norm: Optional[dict],
+    thw: THW,
+    stride: Sequence[int],
+    padding: Sequence[int],
+) -> Tuple[jax.Array, THW]:
+    """Depthwise-conv pooling of per-head tokens (attention_pool, attention.py:11-49).
+
+    ``x``: (B, N_heads, L, head_dim); ``w``: (kT,kH,kW,1,head_dim) shared across heads.
+    """
+    num_heads = x.shape[1]
+    grid = _heads_to_grid(x, thw)
+    w_tiled = jnp.tile(w, (1, 1, 1, 1, num_heads)) if num_heads > 1 else w
+    pooled = ops.depthwise_conv3d(w_tiled, grid, stride, padding)
+    out, thw_new = _grid_to_heads(pooled, num_heads)
+    if norm is not None:
+        out = ops.layer_norm(norm, out)
+    return out, thw_new
+
+
+def upsample_heads_conv(
+    x: jax.Array,
+    w: jax.Array,
+    norm: Optional[dict],
+    thw: THW,
+    stride: Sequence[int],
+    padding: Sequence[int],
+    output_padding: Sequence[int],
+) -> Tuple[jax.Array, THW]:
+    """ConvTranspose3d upsampling of per-head Q (attention_upsample, attention.py:251-289)."""
+    num_heads = x.shape[1]
+    grid = _heads_to_grid(x, thw)
+    w_tiled = jnp.tile(w, (1, 1, 1, 1, num_heads)) if num_heads > 1 else w
+    up = ops.depthwise_conv_transpose3d(w_tiled, grid, stride, padding, output_padding)
+    out, thw_new = _grid_to_heads(up, num_heads)
+    if norm is not None:
+        out = ops.layer_norm(norm, out)
+    return out, thw_new
+
+
+def pool_tokens_max(x: jax.Array, thw: THW, kernel, stride, padding) -> Tuple[jax.Array, THW]:
+    """MaxPool3d on (B, L, C) tokens — the residual skip path (attention.py:234-241)."""
+    b, l, c = x.shape
+    t, h, w = thw
+    grid = x.reshape(b, t, h, w, c)
+    pooled = ops.max_pool3d(grid, kernel, stride, padding)
+    t2, h2, w2 = pooled.shape[1:4]
+    return pooled.reshape(b, t2 * h2 * w2, c), (t2, h2, w2)
+
+
+def upsample_tokens_trilinear(x: jax.Array, thw: THW, stride: Sequence[int]) -> Tuple[jax.Array, THW]:
+    """nn.Upsample(scale_factor=stride, trilinear) on tokens (attention.py:463-467)."""
+    b, l, c = x.shape
+    t, h, w = thw
+    grid = x.reshape(b, t, h, w, c)
+    size = (t * stride[0], h * stride[1], w * stride[2])
+    up = ops.trilinear_resize(grid, size)
+    return up.reshape(b, size[0] * size[1] * size[2], c), size
+
+
+# ----------------------------------------------------------------------------------
+# core attention
+# ----------------------------------------------------------------------------------
+
+
+def _attention_core(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    mask: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """softmax(q k^T * scale [+ mask]) v with fp32 probabilities.
+
+    q: (B, N, Lq, d); k/v: (B, N, Lk, d). Returns (out (B, N, Lq, d), attn fp32).
+    """
+    logits = jnp.einsum(
+        "bnqd,bnkd->bnqk", q, k,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    logits = logits * scale
+    if mask is not None:
+        logits = logits + mask
+    attn = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum(
+        "bnqk,bnkd->bnqd", attn.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ).astype(v.dtype)
+    return out, attn
+
+
+def _merge_heads(x: jax.Array) -> jax.Array:
+    b, n, l, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, l, n * hd)
+
+
+def _split_heads(x: jax.Array, num_heads: int) -> jax.Array:
+    b, l, c = x.shape
+    return x.reshape(b, l, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+# ----------------------------------------------------------------------------------
+# MultiScaleAttention (encoder) — attention.py:52-162
+# ----------------------------------------------------------------------------------
+
+
+def _pool_conv_init(key, head_dim: int, kernel, dtype) -> jax.Array:
+    # torch Conv3d(groups=head_dim, bias=False) default init: kaiming uniform with
+    # fan_in = prod(kernel) (one input channel per group)
+    fan_in = _prod(kernel)
+    bound = 1.0 / np.sqrt(fan_in)
+    return jax.random.uniform(
+        key, (*kernel, 1, head_dim), dtype, minval=-bound, maxval=bound
+    )
+
+
+def multiscale_attention_init(key: jax.Array, spec: AttentionSpec, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 6)
+    hd = spec.head_dim
+    p = {
+        "qkv": ops.linear_init(keys[0], spec.dim, spec.dim * 3, bias=spec.qkv_bias, dtype=dtype),
+        "proj": ops.linear_init(keys[1], spec.dim, spec.dim, dtype=dtype),
+    }
+    assert spec.mode == "conv", "only 'conv' pooling mode is exercised by CSTS"
+    if spec.pool_q_on:
+        p["pool_q"] = _pool_conv_init(keys[2], hd, spec.kernel_q, dtype)
+        p["norm_q"] = ops.layer_norm_init(hd, dtype)
+    if spec.pool_kv_on:
+        p["pool_k"] = _pool_conv_init(keys[3], hd, spec.kernel_kv, dtype)
+        p["norm_k"] = ops.layer_norm_init(hd, dtype)
+        p["pool_v"] = _pool_conv_init(keys[4], hd, spec.kernel_kv, dtype)
+        p["norm_v"] = ops.layer_norm_init(hd, dtype)
+    return p
+
+
+def multiscale_attention_apply(
+    p: dict,
+    spec: AttentionSpec,
+    x: jax.Array,
+    thw: THW,
+    mask: Optional[jax.Array] = None,
+    return_attn: bool = False,
+    reverse_split: Optional[int] = None,
+):
+    """Returns (out, thw_q[, attn]).
+
+    ``reverse_split``: TemporalAttention's ``reverse`` mode (av_attention.py:140-146)
+    — after pooling, the value rows are rotated so tokens [split:] come first
+    (swapping the video/audio halves of the fused sequence).
+    """
+    qkv = ops.linear_apply(p["qkv"], x)
+    b, l, _ = qkv.shape
+    qkv = qkv.reshape(b, l, 3, spec.num_heads, spec.head_dim)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
+    q_thw = thw
+    if spec.upsample_q:
+        if "pool_q" in p:
+            q, q_thw = upsample_heads_conv(
+                q, p["pool_q"], p.get("norm_q"), thw,
+                spec.stride_q, spec.padding_q, spec.output_padding_q,
+            )
+    elif "pool_q" in p:
+        q, q_thw = pool_heads_conv(q, p["pool_q"], p.get("norm_q"), thw, spec.stride_q, spec.padding_q)
+    if "pool_k" in p:
+        k, _ = pool_heads_conv(k, p["pool_k"], p.get("norm_k"), thw, spec.stride_kv, spec.padding_kv)
+        v, _ = pool_heads_conv(v, p["pool_v"], p.get("norm_v"), thw, spec.stride_kv, spec.padding_kv)
+
+    if reverse_split is not None:
+        v = jnp.concatenate([v[:, :, reverse_split:], v[:, :, :reverse_split]], axis=2)
+    out, attn = _attention_core(q, k, v, spec.scale, mask)
+    out = ops.linear_apply(p["proj"], _merge_heads(out))
+    if return_attn:
+        return out, q_thw, attn
+    return out, q_thw
+
+
+# ----------------------------------------------------------------------------------
+# MultiScaleBlock (encoder & decoder share this skeleton) — attention.py:165-248,395-479
+# ----------------------------------------------------------------------------------
+
+
+def multiscale_block_init(key: jax.Array, spec: AttentionSpec, dtype=jnp.float32) -> dict:
+    keys = jax.random.split(key, 5)
+    hidden = int(spec.dim * spec.mlp_ratio) if not spec.upsample_q else int(spec.dim_out * spec.mlp_ratio)
+    p = {
+        "norm1": ops.layer_norm_init(spec.dim, dtype),
+        "attn": multiscale_attention_init(keys[0], spec, dtype),
+        "norm2": ops.layer_norm_init(spec.dim, dtype),
+        "mlp": ops.mlp_init(keys[1], spec.dim, hidden, spec.dim_out, dtype),
+    }
+    if spec.dim != spec.dim_out:
+        p["proj"] = ops.linear_init(keys[2], spec.dim, spec.dim_out, dtype=dtype)
+    return p
+
+
+def multiscale_block_apply(
+    p: dict,
+    spec: AttentionSpec,
+    x: jax.Array,
+    thw: THW,
+    *,
+    mask: Optional[jax.Array] = None,
+    drop_path_key: Optional[jax.Array] = None,
+    deterministic: bool = True,
+    return_attn: bool = False,
+    reverse_split: Optional[int] = None,
+):
+    """Pre-LN attention + residual (pooled/upsampled skip) + MLP.
+
+    Reference quirks replicated exactly:
+    * the residual skip is MaxPool3d (encoder, attention.py:234-241) or trilinear
+      upsample (decoder, attention.py:463-472) of the *unnormed* input;
+    * when dim != dim_out the second residual is ``proj(norm2(x))``, i.e. the MLP
+      residual uses the *normed* activations (attention.py:243-247);
+    * fusion blocks pass stride_q=() so both skip transforms are identity
+      (av_attention.py:231,449 set pool_skip = None).
+    """
+    attn_out = multiscale_attention_apply(
+        p["attn"], spec, ops.layer_norm(p["norm1"], x), thw,
+        mask=mask, return_attn=return_attn, reverse_split=reverse_split,
+    )
+    if return_attn:
+        x_block, thw_new, attn = attn_out
+    else:
+        x_block, thw_new = attn_out
+
+    if spec.upsample_q:
+        if spec.skip_upsample_on:
+            x_res, _ = upsample_tokens_trilinear(x, thw, spec.stride_q)
+        else:
+            x_res = x
+    else:
+        if spec.skip_pool_on:
+            pad = tuple(int(k // 2) for k in spec.skip_kernel)
+            x_res, _ = pool_tokens_max(x, thw, spec.skip_kernel, spec.stride_q, pad)
+        else:
+            x_res = x
+
+    k1 = k2 = None
+    if drop_path_key is not None:
+        k1, k2 = jax.random.split(drop_path_key)
+    x = x_res + ops.drop_path(x_block, spec.drop_path, k1, deterministic)
+    x_norm = ops.layer_norm(p["norm2"], x)
+    x_mlp = ops.mlp_apply(p["mlp"], x_norm)
+    if spec.dim != spec.dim_out:
+        x = ops.linear_apply(p["proj"], x_norm)
+    x = x + ops.drop_path(x_mlp, spec.drop_path, k2, deterministic)
+    if return_attn:
+        return x, thw_new, attn
+    return x, thw_new
+
+
+# ----------------------------------------------------------------------------------
+# Spatial-fusion in-frame mask — av_attention.py:336-346, precomputed
+# ----------------------------------------------------------------------------------
+
+
+def build_inframe_mask(thw: THW, num_audio_tokens: int) -> np.ndarray:
+    """Additive fp32 mask (L, L): 0 where attention is allowed, -1e8 elsewhere.
+
+    Token layout: [T*H*W video tokens frame-major, then T audio tokens]. A video token
+    of frame t may attend to frame t's video tokens and audio token t; audio token t may
+    attend to frame t's video tokens and itself. Exactly reproduces the offset matrix
+    the reference rebuilds per forward with a Python loop (av_attention.py:337-346).
+    """
+    t, h, w = thw
+    assert num_audio_tokens == t
+    hw = h * w
+    total = t * hw + t
+    mask = np.full((total, total), -1e8, dtype=np.float32)
+    for f in range(t):
+        sl = slice(hw * f, hw * (f + 1))
+        mask[sl, sl] = 0.0
+        mask[sl, t * hw + f] = 0.0
+        mask[t * hw + f, sl] = 0.0
+        mask[t * hw + f, t * hw + f] = 0.0
+    return mask
+
+
+def extract_audio_attention(attn: jax.Array, thw: THW) -> jax.Array:
+    """Per-frame audio→video attention map, min-max rescaled (av_attention.py:360-370).
+
+    ``attn``: (B, N, L, L) fp32 probabilities from the spatial-fusion block.
+    Returns (B, N, T, H, W) in [0, 1].
+    """
+    t, h, w = thw
+    hw = h * w
+    thw_total = t * hw
+    rows = []
+    for f in range(t):
+        rows.append(attn[:, :, thw_total + f, hw * f : hw * (f + 1)])
+    audio_attn = jnp.stack(rows, axis=2)  # (B, N, T, HW)
+    amax = jnp.max(audio_attn, axis=-1, keepdims=True)
+    amin = jnp.min(audio_attn, axis=-1, keepdims=True)
+    rescaled = (audio_attn - amin) / (amax - amin + 1e-8)
+    return rescaled.reshape(*rescaled.shape[:2], t, h, w)
