@@ -1,0 +1,175 @@
+"""Input pipeline: multi-worker host loading with device prefetch.
+
+Replaces the reference's torch DataLoader stack (``loader.py:44-130`` +
+DistributedSampler + 8 worker processes per GPU) with a TPU-shaped design:
+
+* a thread pool decodes/augments clips (numpy work releases the GIL in cv2/np);
+* per-epoch shuffling is seeded (epoch, RNG_SEED) — ``shuffle_dataset``/
+  ``DistributedSampler.set_epoch`` equivalence (loader.py:112-130);
+* multi-host sharding: each jax process takes a contiguous stripe of every batch
+  (DistributedSampler semantics) via ``process_index/process_count``;
+* per-sample RNG is seeded by (seed, epoch, sample-index) — augmentations are
+  reproducible regardless of worker count, unlike the reference;
+* batches are collated into pinned numpy arrays and prefetched ``PREFETCH_DEPTH``
+  deep so host decode overlaps device compute (double-buffering).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from csts_tpu.config import Config
+from csts_tpu.data.datasets import AVGazeDataset, build_dataset
+
+
+def _collate(samples) -> Dict[str, np.ndarray]:
+    batch = {
+        key: np.stack([s[key] for s in samples])
+        for key in ("video", "audio", "labels", "labels_hm")
+    }
+    batch["index"] = np.asarray([s["index"] for s in samples])
+    return batch
+
+
+class GazeLoader:
+    """Iterable over collated numpy batches for one split."""
+
+    def __init__(
+        self,
+        dataset: AVGazeDataset,
+        batch_size: int,
+        shuffle: bool,
+        num_workers: int = 8,
+        seed: int = 0,
+        drop_last: bool = False,
+        process_index: int = 0,
+        process_count: int = 1,
+    ):
+        self.dataset = dataset
+        self.global_batch_size = batch_size
+        assert batch_size % process_count == 0
+        self.local_batch_size = batch_size // process_count
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.seed = seed
+        self.drop_last = drop_last
+        self.process_index = process_index
+        self.process_count = process_count
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int):
+        """Seeded epoch shuffle (shuffle_dataset, loader.py:112-130)."""
+        self._epoch = epoch
+
+    def __len__(self):
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.global_batch_size
+        return (n + self.global_batch_size - 1) // self.global_batch_size
+
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self._epoch))
+            rng.shuffle(order)
+        return order
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._epoch_order()
+        n_batches = len(self)
+
+        def fetch(global_idx: int, sample_pos: int):
+            rng = np.random.default_rng((self.seed, self._epoch, int(sample_pos)))
+            return self.dataset.__getitem__(int(global_idx), rng=rng)
+
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            pending = []
+            for b in range(n_batches):
+                lo = b * self.global_batch_size
+                batch_idx = order[lo : lo + self.global_batch_size]
+                if len(batch_idx) < self.global_batch_size:
+                    if self.drop_last:
+                        break
+                    # pad by wrapping (keeps batch shapes static for jit)
+                    pad = self.global_batch_size - len(batch_idx)
+                    batch_idx = np.concatenate([batch_idx, order[:pad]])
+                # this host's stripe of the global batch
+                stripe = batch_idx[
+                    self.process_index * self.local_batch_size
+                    : (self.process_index + 1) * self.local_batch_size
+                ]
+                futures = [
+                    pool.submit(fetch, g, lo + self.process_index * self.local_batch_size + i)
+                    for i, g in enumerate(stripe)
+                ]
+                pending.append(futures)
+            for futures in pending:
+                yield _collate([f.result() for f in futures])
+
+
+def construct_loader(cfg: Config, split: str, seed_offset: int = 0) -> GazeLoader:
+    """(reference construct_loader, loader.py:44-109)"""
+    import jax
+
+    assert split in ("train", "val", "test")
+    if split == "train":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = True, True
+    elif split == "val":
+        dataset_name = cfg.TRAIN.DATASET
+        batch_size = cfg.TRAIN.BATCH_SIZE
+        shuffle, drop_last = False, False
+    else:
+        dataset_name = cfg.TEST.DATASET
+        batch_size = cfg.TEST.BATCH_SIZE
+        shuffle, drop_last = False, False
+
+    dataset = build_dataset(dataset_name, cfg, "train" if split == "train" else split)
+    return GazeLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=shuffle,
+        num_workers=cfg.DATA_LOADER.NUM_WORKERS,
+        seed=cfg.RNG_SEED + seed_offset,
+        drop_last=drop_last,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+
+class DevicePrefetcher:
+    """Background thread moving host batches to device ``depth`` ahead.
+
+    The TPU equivalent of pin_memory + cuda(non_blocking): keeps HBM fed while the
+    current step runs, hiding host→device transfer latency.
+    """
+
+    def __init__(self, iterator, place_fn, depth: int = 2):
+        self._it = iterator
+        self._place = place_fn
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._done = object()
+        self._thread = threading.Thread(target=self._run, daemon=True)
+        self._thread.start()
+
+    def _run(self):
+        try:
+            for item in self._it:
+                self._q.put(self._place(item))
+        finally:
+            self._q.put(self._done)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._done:
+            raise StopIteration
+        return item

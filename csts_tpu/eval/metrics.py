@@ -1,0 +1,217 @@
+"""Gaze evaluation metrics: adaptive-threshold F1 (+recall/precision) and AUC.
+
+Reference: ``slowfast/utils/metrics.py:9-74``. Re-designed for TPU/accelerator use:
+
+* the reference materializes a ``(num_thresholds, B, T, H, W)`` tensor (its own
+  comment at metrics.py:48 flags the memory cost); here each threshold only keeps
+  ``(B, T)`` partial sums, computed in one vectorized pass — O(K·B·T) memory;
+* fully jit-able: the threshold grid is static per dataset, the fixation-frame
+  masking is a weighted mean instead of the reference's ``index_select`` (identical
+  value, no dynamic shapes);
+* AUC is the paper's headline metric that the reference never implements (vestigial
+  ``self.auc`` at meters.py:60) — added here: per fixation frame, the probability
+  that the predicted value at the label's positive pixels exceeds the value at
+  negative pixels (Wilcoxon/Mann-Whitney formulation of ROC-AUC, exact for the
+  binarized ground truth, computed without materializing the threshold sweep).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Dataset-specific threshold grids (metrics.py:35-43).
+_EGO4D_FORECAST = tuple(np.linspace(0.01, 0.07, 31))
+_ARIA_FORECAST = tuple(np.linspace(0.0, 0.02, 21))
+_ESTIMATION = tuple(np.linspace(0.0, 0.02, 11))
+
+_FIXATION_IDX = {
+    "egteagaze": 1,
+    "ego4dgaze": 0, "ego4dgaze_forecast": 0, "ego4d_av_gaze": 0,
+    "ego4d_av_gaze_forecast": 0, "aria_gaze": 0, "aria_gaze_forecast": 0,
+    "aria_av_gaze": 0, "aria_av_gaze_forecast": 0,
+}
+
+
+def thresholds_for(dataset: str) -> Tuple[float, ...]:
+    if "forecast" in dataset and "aria" not in dataset:
+        return _EGO4D_FORECAST
+    if "forecast" in dataset and "aria" in dataset:
+        return _ARIA_FORECAST
+    return _ESTIMATION
+
+
+def fixation_index(dataset: str) -> int:
+    if dataset not in _FIXATION_IDX:
+        raise NotImplementedError(f"Metrics of {dataset} is not implemented.")
+    return _FIXATION_IDX[dataset]
+
+
+def minmax_rescale(preds: jax.Array) -> jax.Array:
+    """Per-frame min-max rescale applied by every caller before adaptive_f1
+    (train_avgaze_net.py:125-127)."""
+    if preds.ndim == 5:
+        preds = preds[..., 0] if preds.shape[-1] == 1 else preds.squeeze(1)
+    b, t, h, w = preds.shape
+    flat = preds.reshape(b, t, h * w)
+    lo = jnp.min(flat, axis=-1, keepdims=True)
+    hi = jnp.max(flat, axis=-1, keepdims=True)
+    return ((flat - lo) / (hi - lo + 1e-6)).reshape(b, t, h, w)
+
+
+def f1_counts(
+    preds: jax.Array, labels_hm: jax.Array, thresholds: Tuple[float, ...]
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Per-(threshold, sample, frame) tp / fg_label / fg_pred counts.
+
+    ``preds``: (B, T, H, W) rescaled to [0,1]; ``labels_hm``: (B, T, H, W).
+    Returns three arrays: tp (K, B, T), fg_labels (B, T), fg_preds (K, B, T).
+    """
+    if preds.ndim == 5:
+        preds = preds[..., 0]
+    if labels_hm.ndim == 5:
+        labels_hm = labels_hm[..., 0]
+    th = jnp.asarray(thresholds, dtype=preds.dtype)
+    binary_labels = (labels_hm > 0.001).astype(jnp.float32)
+    fg_labels = jnp.sum(binary_labels, axis=(2, 3))
+
+    def per_threshold(t):
+        binary_preds = (preds > t).astype(jnp.float32)
+        tp = jnp.sum(binary_preds * binary_labels, axis=(2, 3))
+        fg_preds = jnp.sum(binary_preds, axis=(2, 3))
+        return tp, fg_preds
+
+    tp, fg_preds = jax.lax.map(per_threshold, th)
+    return tp, fg_labels, fg_preds
+
+
+def adaptive_f1(
+    preds: jax.Array,
+    labels_hm: jax.Array,
+    labels: jax.Array,
+    dataset: str,
+) -> Tuple[float, float, float, float]:
+    """Best-threshold F1/recall/precision over fixation frames (metrics.py:9-74).
+
+    ``preds``: (B, T, H, W) min-max rescaled probabilities (or (B,1,T,H,W)-style with
+    a leading channel already squeezed); ``labels_hm``: (B, T, H, W) Gaussian heatmap
+    labels; ``labels``: (B, T, 3) per-frame [x, y, gaze_type].
+    """
+    thresholds = thresholds_for(dataset)
+    fix_idx = fixation_index(dataset)
+    f1, recall, precision, best = _adaptive_f1_jit(
+        preds, labels_hm, labels, thresholds, fix_idx
+    )
+    bi = int(best)
+    return float(f1[bi]), float(recall[bi]), float(precision[bi]), float(thresholds[bi])
+
+
+def _adaptive_f1_core(preds, labels_hm, labels, thresholds, fix_idx):
+    tp, fg_labels, fg_preds = f1_counts(preds, labels_hm, thresholds)
+    # fixation-frame mask as a weighted mean (== index_select + mean)
+    mask = (labels[:, :, 2] == fix_idx).astype(jnp.float32)  # (B, T)
+    denom = jnp.sum(mask) + 1e-12
+    recall = jnp.sum((tp / (fg_labels[None] + 1e-6)) * mask[None], axis=(1, 2)) / denom
+    precision = jnp.sum((tp / (fg_preds + 1e-6)) * mask[None], axis=(1, 2)) / denom
+    f1 = (2 * recall * precision) / (recall + precision + 1e-6)
+    return f1, recall, precision, jnp.argmax(f1)
+
+
+@partial(jax.jit, static_argnames=("thresholds", "fix_idx"))
+def _adaptive_f1_jit(preds, labels_hm, labels, thresholds, fix_idx):
+    return _adaptive_f1_core(preds, labels_hm, labels, thresholds, fix_idx)
+
+
+# ------------------------------------------------------------------------------
+# Streaming accumulator for whole-test-set metrics (TestGazeMeter.finalize
+# equivalent — meters.py:132-146 — without concatenating every prediction).
+# ------------------------------------------------------------------------------
+
+
+class StreamingF1:
+    """Accumulates per-threshold partial sums batch by batch; finalize() returns the
+    global adaptive F1 identical to running the reference's single concatenated pass."""
+
+    def __init__(self, dataset: str):
+        self.dataset = dataset
+        self.thresholds = thresholds_for(dataset)
+        self.fix_idx = fixation_index(dataset)
+        k = len(self.thresholds)
+        self._recall_sum = np.zeros((k,), np.float64)
+        self._precision_sum = np.zeros((k,), np.float64)
+        self._count = 0.0
+        self._auc_sum = 0.0
+        self._auc_count = 0.0
+
+    def update(self, preds, labels_hm, labels):
+        """``preds`` (B,T,H,W) rescaled; numpy or jax arrays."""
+        stats = _streaming_update_jit(
+            jnp.asarray(preds), jnp.asarray(labels_hm), jnp.asarray(labels),
+            self.thresholds, self.fix_idx,
+        )
+        r_sum, p_sum, cnt, auc_sum, auc_cnt = (np.asarray(s) for s in stats)
+        self._recall_sum += r_sum
+        self._precision_sum += p_sum
+        self._count += float(cnt)
+        self._auc_sum += float(auc_sum)
+        self._auc_count += float(auc_cnt)
+
+    def finalize(self):
+        recall = self._recall_sum / max(self._count, 1e-12)
+        precision = self._precision_sum / max(self._count, 1e-12)
+        f1 = (2 * recall * precision) / (recall + precision + 1e-6)
+        i = int(np.argmax(f1))
+        auc = self._auc_sum / max(self._auc_count, 1e-12)
+        return {
+            "f1": float(f1[i]),
+            "recall": float(recall[i]),
+            "precision": float(precision[i]),
+            "threshold": float(self.thresholds[i]),
+            "auc": float(auc),
+        }
+
+
+def auc_per_frame(preds: jax.Array, labels_hm: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """ROC-AUC of each frame's heatmap against the binarized label (B, T).
+
+    Mann-Whitney formulation: AUC = (#(pos>neg) + 0.5·#(pos==neg)) / (#pos·#neg),
+    computed exactly via per-pixel rank sums — no threshold sweep, no K× memory.
+    Returns (auc (B,T), valid (B,T)) where valid=0 for frames with no positives.
+    """
+    if preds.ndim == 5:
+        preds = preds[..., 0]
+    if labels_hm.ndim == 5:
+        labels_hm = labels_hm[..., 0]
+    b, t, h, w = preds.shape
+    p = preds.reshape(b, t, h * w)
+    pos = (labels_hm.reshape(b, t, h * w) > 0.001).astype(jnp.float32)
+    n_pos = jnp.sum(pos, axis=-1)
+    n_neg = (h * w) - n_pos
+    # 1-based rank of each pixel by predicted value (ties broken by argsort order —
+    # continuous heatmap values make exact ties measure-zero)
+    order = jnp.argsort(p, axis=-1)
+    idx = jnp.broadcast_to(jnp.arange(h * w, dtype=p.dtype), p.shape)
+    base_rank = jnp.zeros_like(p).at[
+        jnp.arange(b)[:, None, None], jnp.arange(t)[None, :, None], order
+    ].set(idx + 1.0)
+    rank_sum_pos = jnp.sum(base_rank * pos, axis=-1)
+    auc = (rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / jnp.maximum(n_pos * n_neg, 1.0)
+    valid = (n_pos > 0).astype(jnp.float32)
+    return auc, valid
+
+
+@partial(jax.jit, static_argnames=("thresholds", "fix_idx"))
+def _streaming_update_jit(preds, labels_hm, labels, thresholds, fix_idx):
+    tp, fg_labels, fg_preds = f1_counts(preds, labels_hm, thresholds)
+    mask = (labels[:, :, 2] == fix_idx).astype(jnp.float32)
+    r_sum = jnp.sum((tp / (fg_labels[None] + 1e-6)) * mask[None], axis=(1, 2))
+    p_sum = jnp.sum((tp / (fg_preds + 1e-6)) * mask[None], axis=(1, 2))
+    cnt = jnp.sum(mask)
+    auc, valid = auc_per_frame(preds, labels_hm)
+    auc_sum = jnp.sum(auc * valid * mask)
+    auc_cnt = jnp.sum(valid * mask)
+    return r_sum, p_sum, cnt, auc_sum, auc_cnt

@@ -1,0 +1,85 @@
+"""Device mesh and sharding policy.
+
+The reference's distributed runtime (``slowfast/utils/distributed.py`` +
+``multiprocessing.py``: one process per GPU, NCCL process groups, DDP gradient
+buckets, DistributedSampler) collapses on TPU into a single SPMD program:
+
+* one jax process per host, all devices in a ``jax.sharding.Mesh``;
+* the batch is sharded over the ``data`` axis (NamedSharding P("data")), params are
+  replicated — XLA inserts the gradient psum that DDP does by hand;
+* the EgoNCE similarity matrix is computed over the *global* batch simply by writing
+  the matmul on sharded embeddings — XLA's collective lowering replaces the
+  reference's hand-rolled differentiable all_gather (``AllGather_multi``,
+  distributed.py:15-49) and fixes its rank-0 backward bug;
+* multi-host (NUM_SHARDS analogue) is ``jax.distributed.initialize`` + the same
+  program over a bigger mesh: ICI within a slice, DCN across slices.
+
+A ``model`` axis is provisioned for tensor parallelism of the 768-wide stages — a
+capability beyond the reference (which ships data parallelism only, SURVEY §2.2).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    """1-D data mesh by default; 2-D (data, model) when model_parallel > 1."""
+    devices = jax.devices()
+    if num_devices is not None:
+        devices = devices[:num_devices]
+    n = len(devices)
+    assert n % model_parallel == 0, (n, model_parallel)
+    dp = n // model_parallel
+    dev_array = np.asarray(devices).reshape(dp, model_parallel)
+    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading-axis (batch) sharding over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Place a host batch dict onto the mesh, sharded along axis 0."""
+    sharding = batch_sharding(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), batch
+    )
+
+
+def replicate_params(mesh: Mesh, params):
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
+
+
+def param_sharding_rules(mesh: Mesh, params, model_parallel: bool = False):
+    """Sharding pytree for params. Replicated for DP; with ``model_parallel``, the
+    qkv/mlp projection matrices of 768-wide blocks shard their output dim over the
+    model axis (Megatron-style column/row split pairs)."""
+    if not model_parallel:
+        rep = replicated(mesh)
+        return jax.tree_util.tree_map(lambda _: rep, params)
+
+    def rule(path, leaf):
+        names = [str(getattr(p, "key", getattr(p, "idx", ""))) for p in path]
+        joined = "/".join(names)
+        if leaf.ndim == 2:
+            if any(k in joined for k in ("qkv/w", "fc1/w")):
+                return NamedSharding(mesh, P(None, MODEL_AXIS))  # column parallel
+            if any(k in joined for k in ("proj/w", "fc2/w")):
+                return NamedSharding(mesh, P(MODEL_AXIS, None))  # row parallel
+        return replicated(mesh)
+
+    return jax.tree_util.tree_map_with_path(rule, params)

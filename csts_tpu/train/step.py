@@ -1,0 +1,131 @@
+"""The jitted training / evaluation step functions.
+
+Reference: the body of ``train_epoch`` (``tools/train_avgaze_net.py:25-155``) minus
+host-side bookkeeping. Everything device-side is one compiled XLA program per step:
+forward, loss (kldiv + α·egonce over the global batch), backward, grad clip,
+AdamW update, per-step cosine LR — no host round-trips, donated buffers.
+
+Under a data-sharded mesh the gradient mean and the cross-device EgoNCE similarity
+both come from XLA's partitioner; there is no hand-written collective here at all
+(compare distributed.py:15-90 + DDP in the reference).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from csts_tpu.config import Config
+from csts_tpu.models import csts as csts_lib
+from csts_tpu.train import losses
+from csts_tpu.train.lr_policy import get_lr_at_epoch
+from csts_tpu.train.optimizer import construct_optimizer
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: jax.Array  # scalar int32
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state, self.step), None
+
+
+jax.tree_util.register_pytree_node(
+    TrainState,
+    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda _, c: TrainState(*c),
+)
+
+
+def create_train_state(cfg: Config, spec, key: jax.Array) -> Tuple[TrainState, optax.GradientTransformation]:
+    params = csts_lib.csts_init(key, spec)
+    tx = construct_optimizer(params, cfg)
+    opt_state = tx.init(params)
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
+
+
+def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int):
+    """Returns ``train_step(state, batch, rng) -> (state, stats)``, jitted with
+    donated state. ``batch``: dict with video (B,T,H,W,3), audio (B,T,F,S,1),
+    labels (B,T,3), labels_hm (B,T,h,w)."""
+    solver = cfg.SOLVER
+    alpha = cfg.MODEL.LOSS_ALPHA
+    loss_name = cfg.MODEL.LOSS_FUNC
+    use_nce = "nce" in loss_name
+
+    def loss_fn(params, batch, rng):
+        out = csts_lib.csts_apply(
+            params, spec, batch["video"], batch["audio"],
+            deterministic=False, rng=rng, return_embed=use_nce,
+        )
+        if use_nce:
+            logits, v_embed, a_embed = out
+        else:
+            logits = out
+        preds = losses.frame_softmax(logits, temperature=2.0)
+        if loss_name in ("kldiv", "kldiv+egonce"):
+            main = losses.kldiv_loss(preds, batch["labels_hm"])
+        else:
+            main = losses.get_loss_fn(loss_name)(logits, batch["labels_hm"])
+        stats = {"kldiv_loss": main}
+        loss = main
+        if use_nce:
+            # Embeddings are batch-sharded; this similarity is over the GLOBAL batch —
+            # XLA inserts the gather (replaces all_gather_with_grad,
+            # train_avgaze_net.py:82-83, with correct gradients).
+            sim = losses.sim_matrix(v_embed, a_embed)
+            nce = losses.egonce_loss(sim)
+            loss = loss + alpha * nce
+            stats["egonce_loss"] = nce
+        stats["loss"] = loss
+        return loss, (stats, preds)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Dict[str, jax.Array], rng: jax.Array):
+        epoch_frac = state.step.astype(jnp.float32) / steps_per_epoch
+        lr = get_lr_at_epoch(solver, epoch_frac)
+
+        (_, (stats, preds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, rng
+        )
+        opt_state = state.opt_state
+        opt_state.hyperparams["learning_rate"] = lr.astype(
+            opt_state.hyperparams["learning_rate"].dtype
+        )
+        updates, opt_state = tx.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        stats = dict(stats)
+        stats["lr"] = lr
+        stats["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(params, opt_state, state.step + 1)
+        return new_state, stats, preds
+
+    return train_step
+
+
+def make_eval_step(cfg: Config, spec):
+    """Forward + frame_softmax, jitted (eval_epoch / perform_test device work)."""
+
+    @jax.jit
+    def eval_step(params, batch):
+        logits = csts_lib.csts_apply(
+            params, spec, batch["video"], batch["audio"], deterministic=True
+        )
+        return losses.frame_softmax(logits, temperature=2.0)
+
+    return eval_step
+
+
+def check_nan_loss(loss: float, step: int) -> None:
+    """Host-side NaN guard (misc.py:26-33)."""
+    import math
+
+    if math.isnan(loss):
+        raise RuntimeError(f"ERROR: Got NaN losses at step {step}")

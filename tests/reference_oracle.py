@@ -80,11 +80,35 @@ def install_stubs() -> None:
     # Pre-register the slowfast packages with __path__ into the reference tree so
     # submodule imports resolve WITHOUT executing slowfast/__init__.py (which calls
     # env.setup_environment and drags in the full dependency chain).
+    # PyAV stub — dataset modules import it at module level; tests never open videos
+    if "av" not in sys.modules or not hasattr(sys.modules.get("av"), "__version__"):
+        av_mod = _stub_module("av")
+        av_mod.__version__ = "0.0-stub"
+        av_mod.open = None
+
+    # tqdm stub (progress bars in dataset constructors)
+    tqdm_mod = _stub_module("tqdm")
+    tqdm_mod.tqdm = lambda x, *a, **k: x
+
+    # torchvision stub — decoder.py imports torchvision.io for its (unused here)
+    # torchvision backend; datasets import torchvision.transforms for RandAug paths
+    tv = _stub_module("torchvision")
+    tv_io = _stub_module("torchvision.io")
+    tv_tr = _stub_module("torchvision.transforms")
+    tv_tr.__path__ = []  # mark as package so submodule stubs resolve
+    tv_tr_f = _stub_module("torchvision.transforms.functional")
+    tv_tr.ToPILImage = object
+    tv_tr.ToTensor = object
+    tv_tr.functional = tv_tr_f
+    tv.io = tv_io
+    tv.transforms = tv_tr
+
     for pkg, path in [
         ("slowfast", f"{REFERENCE_ROOT}/slowfast"),
         ("slowfast.models", f"{REFERENCE_ROOT}/slowfast/models"),
         ("slowfast.utils", f"{REFERENCE_ROOT}/slowfast/utils"),
         ("slowfast.config", f"{REFERENCE_ROOT}/slowfast/config"),
+        ("slowfast.datasets", f"{REFERENCE_ROOT}/slowfast/datasets"),
     ]:
         mod = _stub_module(pkg)
         mod.__path__ = [path]

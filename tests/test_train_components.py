@@ -1,0 +1,170 @@
+"""Parity tests for losses, metrics, and LR schedules against the reference code."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from csts_tpu.config import get_cfg
+from csts_tpu.eval import metrics as m_tpu
+from csts_tpu.train import losses as l_tpu
+from csts_tpu.train import lr_policy as lr_tpu
+
+from reference_oracle import install_stubs
+
+install_stubs()
+
+from slowfast.models import losses as l_ref  # noqa: E402
+from slowfast.utils import metrics as m_ref  # noqa: E402
+from slowfast.utils import lr_policy as lr_ref  # noqa: E402
+from slowfast.utils.utils import frame_softmax as fs_ref, sim_matrix as sm_ref  # noqa: E402
+
+# the reference EgoNCE hard-codes .cuda() (losses.py:158); run it on CPU
+torch.Tensor.cuda = lambda self, *a, **k: self
+
+
+def test_frame_softmax_parity(rng):
+    logits = rng.standard_normal((2, 1, 8, 16, 16)).astype(np.float32)
+    ref = fs_ref(torch.from_numpy(logits), temperature=2).numpy()
+    # ours: channels-last (B, T, H, W, 1)
+    ours = np.asarray(
+        l_tpu.frame_softmax(jnp.asarray(logits.transpose(0, 2, 3, 4, 1)), temperature=2)
+    ).transpose(0, 4, 1, 2, 3)
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_sim_matrix_parity(rng):
+    a = rng.standard_normal((6, 32)).astype(np.float32)
+    b = rng.standard_normal((6, 32)).astype(np.float32)
+    ref = sm_ref(torch.from_numpy(a), torch.from_numpy(b)).numpy()
+    ours = np.asarray(l_tpu.sim_matrix(jnp.asarray(a), jnp.asarray(b)))
+    np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+def test_kldiv_parity(rng):
+    logits = rng.standard_normal((2, 1, 8, 16, 16)).astype(np.float32)
+    target = rng.uniform(0, 1, (2, 8, 16, 16)).astype(np.float32)
+    target /= target.sum(axis=(2, 3), keepdims=True)
+
+    pred_ref = fs_ref(torch.from_numpy(logits), temperature=2)
+    ref = l_ref.KLDiv()(pred_ref, torch.from_numpy(target)).item()
+
+    pred_ours = l_tpu.frame_softmax(jnp.asarray(logits.transpose(0, 2, 3, 4, 1)), 2.0)
+    ours = float(l_tpu.kldiv_loss(pred_ours, jnp.asarray(target)))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_kldiv_uniform_prior_parity(rng):
+    logits = rng.standard_normal((2, 1, 8, 16, 16)).astype(np.float32)
+    pred_ref = fs_ref(torch.from_numpy(logits), temperature=2)
+    ref = l_ref.KLDiv()(pred_ref).item()
+    pred_ours = l_tpu.frame_softmax(jnp.asarray(logits.transpose(0, 2, 3, 4, 1)), 2.0)
+    ours = float(l_tpu.kldiv_loss(pred_ours))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_egonce_parity(rng):
+    sim = rng.uniform(-1, 1, (8, 8)).astype(np.float32)
+    ref = l_ref.EgoNCE()(torch.from_numpy(sim)).item()
+    ours = float(l_tpu.egonce_loss(jnp.asarray(sim)))
+    assert abs(ours - ref) < 1e-5
+
+
+def test_floss_parity(rng):
+    pred = rng.uniform(0.01, 0.99, (2, 8, 16, 16)).astype(np.float32)
+    target = np.zeros((2, 8, 16, 16), np.float32)
+    # single-peak Gaussian-ish labels
+    for b in range(2):
+        for t in range(8):
+            y, x = rng.integers(2, 14), rng.integers(2, 14)
+            target[b, t, y, x] = 1.0
+    ref = l_ref.FLoss()(torch.from_numpy(pred[:, None]), torch.from_numpy(target)).item()
+    ours = float(l_tpu.floss(jnp.asarray(pred), jnp.asarray(target)))
+    assert abs(ours - ref) < 1e-4
+
+
+@pytest.mark.parametrize("dataset", ["ego4d_av_gaze_forecast", "aria_av_gaze_forecast", "ego4d_av_gaze"])
+def test_adaptive_f1_parity(rng, dataset):
+    b, t, h, w = 4, 8, 16, 16
+    preds = rng.uniform(0, 1, (b, t, h, w)).astype(np.float32)
+    labels_hm = np.zeros((b, t, h, w), np.float32)
+    labels = np.zeros((b, t, 3), np.float32)
+    for i in range(b):
+        for f in range(t):
+            y, x = rng.integers(0, h), rng.integers(0, w)
+            labels_hm[i, f, max(0, y - 1) : y + 2, max(0, x - 1) : x + 2] = 0.5
+            labels[i, f, 2] = rng.integers(0, 2)  # mix fixation / saccade frames
+    labels[0, 0, 2] = 0  # ensure at least one fixation frame
+
+    ref = m_ref.adaptive_f1(
+        torch.from_numpy(preds[:, None]),
+        torch.from_numpy(labels_hm),
+        torch.from_numpy(labels),
+        dataset=dataset,
+    )
+    ours = m_tpu.adaptive_f1(jnp.asarray(preds), jnp.asarray(labels_hm), jnp.asarray(labels), dataset)
+    for r, o in zip(ref, ours):
+        assert abs(float(r) - float(o)) < 1e-5, (ref, ours)
+
+
+def test_streaming_f1_equals_global(rng):
+    """Streaming accumulation over batches == one global adaptive_f1 pass."""
+    dataset = "ego4d_av_gaze_forecast"
+    b, t, h, w = 8, 8, 16, 16
+    preds = rng.uniform(0, 1, (b, t, h, w)).astype(np.float32)
+    labels_hm = (rng.uniform(0, 1, (b, t, h, w)) > 0.9).astype(np.float32) * 0.5
+    labels = np.zeros((b, t, 3), np.float32)
+    labels[:, :, 2] = rng.integers(0, 2, (b, t))
+    labels[0, 0, 2] = 0
+
+    stream = m_tpu.StreamingF1(dataset)
+    for i in range(0, b, 2):
+        stream.update(preds[i : i + 2], labels_hm[i : i + 2], labels[i : i + 2])
+    result = stream.finalize()
+
+    glob = m_tpu.adaptive_f1(jnp.asarray(preds), jnp.asarray(labels_hm), jnp.asarray(labels), dataset)
+    assert abs(result["f1"] - glob[0]) < 1e-5
+    assert abs(result["recall"] - glob[1]) < 1e-5
+    assert abs(result["precision"] - glob[2]) < 1e-5
+    assert 0.0 <= result["auc"] <= 1.0
+
+
+def test_auc_perfect_and_chance(rng):
+    # peak exactly at the positives -> AUC 1; uniform prediction -> ~0.5
+    b, t, h, w = 1, 2, 16, 16
+    labels_hm = np.zeros((b, t, h, w), np.float32)
+    labels_hm[0, :, 5, 5] = 1.0
+    perfect = labels_hm + rng.uniform(0, 1e-4, labels_hm.shape).astype(np.float32)
+    auc, valid = m_tpu.auc_per_frame(jnp.asarray(perfect), jnp.asarray(labels_hm))
+    assert np.all(np.asarray(valid) == 1)
+    assert np.all(np.asarray(auc) > 0.99)
+
+
+def _ref_cfg_ns():
+    class NS(dict):
+        __getattr__ = dict.__getitem__
+
+    cfg = NS()
+    cfg["SOLVER"] = NS(
+        BASE_LR=1e-4, COSINE_END_LR=1e-6, WARMUP_START_LR=1e-6, WARMUP_EPOCHS=2.0,
+        COSINE_AFTER_WARMUP=True, MAX_EPOCH=15, LR_POLICY="cosine",
+        STEPS=[], LRS=[],
+    )
+    return cfg
+
+
+def test_cosine_lr_parity():
+    ref_cfg = _ref_cfg_ns()
+    cfg = get_cfg()
+    cfg.SOLVER.BASE_LR = 1e-4
+    cfg.SOLVER.COSINE_END_LR = 1e-6
+    cfg.SOLVER.WARMUP_START_LR = 1e-6
+    cfg.SOLVER.WARMUP_EPOCHS = 2.0
+    cfg.SOLVER.COSINE_AFTER_WARMUP = True
+    cfg.SOLVER.MAX_EPOCH = 15
+    cfg.SOLVER.LR_POLICY = "cosine"
+    for epoch in np.linspace(0, 14.99, 37):
+        ref = lr_ref.get_lr_at_epoch(ref_cfg, float(epoch))
+        ours = float(lr_tpu.get_lr_at_epoch(cfg.SOLVER, float(epoch)))
+        assert abs(ref - ours) < 1e-10, epoch
