@@ -153,9 +153,12 @@ def build_spec(cfg: Config) -> CSTSSpec:
             )
         )
 
-    # Audio branch: 4 hard-coded blocks (custom_multimodal_builder.py:184-191).
-    audio_dims = [96, 192, 384, 768]
-    audio_dims_out = [192, 384, 768, 768]
+    # Audio branch: 4 blocks (custom_multimodal_builder.py:184-191 hard-codes dims
+    # [96,192,384,768] for EMBED_DIM 96; expressed here as e·{1,2,4,8} so the whole
+    # family scales with EMBED_DIM).
+    e = cfg.MVIT.EMBED_DIM
+    audio_dims = [e, 2 * e, 4 * e, 8 * e]
+    audio_dims_out = [2 * e, 4 * e, 8 * e, 8 * e]
     audio_heads = [1, 2, 4, 8]
     audio_kernel_q = [(), (3, 3, 3), (3, 3, 3), (3, 3, 3)]
     audio_kernel_kv = [(3, 3, 3), (3, 3, 3), (3, 3, 3), (3, 3, 3)]
@@ -178,8 +181,18 @@ def build_spec(cfg: Config) -> CSTSSpec:
     )
 
     token_dim = video_blocks[-1].dim_out
-    # The interleaved execution groups (custom_multimodal_builder.py:386-411).
-    video_groups = ((0, 1), (1, 3), (3, 14), (14, depth))
+    # The interleaved execution groups. The reference hard-codes [:1],[1:3],[3:14],
+    # [14:] (custom_multimodal_builder.py:386-411); those boundaries are exactly the
+    # Q-pool stage-transition blocks, so derive them — the architecture then
+    # generalizes to other MViT depths.
+    q_blocks = sorted(int(e[0]) for e in cfg.MVIT.POOL_Q_STRIDE)
+    assert len(q_blocks) == 3, "CSTS interleaving expects 3 Q-pool stage transitions"
+    video_groups = (
+        (0, q_blocks[0]),
+        (q_blocks[0], q_blocks[1]),
+        (q_blocks[1], q_blocks[2]),
+        (q_blocks[2], depth),
+    )
     audio_groups = ((0, 1), (1, 2), (2, 3), (3, 4))
 
     fusion_thw = _thw_after_blocks(patch_dims, video_blocks)
@@ -199,9 +212,10 @@ def build_spec(cfg: Config) -> CSTSSpec:
     spatial_fusion = AttentionSpec(**fusion_common)
     temporal_fusion = AttentionSpec(**fusion_common)
 
-    # Decoder: 4 hard-coded blocks (custom_multimodal_builder.py:271-299).
-    dec_dims = [768, 768, 384, 192]
-    dec_dims_out = [768, 384, 192, 96]
+    # Decoder: 4 blocks (custom_multimodal_builder.py:271-299 hard-codes
+    # [768,768,384,192]→[768,384,192,96] for EMBED_DIM 96).
+    dec_dims = [8 * e, 8 * e, 4 * e, 2 * e]
+    dec_dims_out = [8 * e, 4 * e, 2 * e, e]
     dec_heads = [8, 4, 4, 2]
     dec_stride_q = [(1, 2, 2), (1, 2, 2), (1, 2, 2), (2, 1, 1)]
     dec_stride_kv = [(1, 2, 2), (1, 4, 4), (1, 8, 8), (1, 16, 16)]

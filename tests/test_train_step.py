@@ -28,11 +28,16 @@ def tiny_cfg():
     cfg.MVIT.CLS_EMBED_ON = False
     cfg.MVIT.SEP_POS_EMBED = True
     cfg.MVIT.DROPPATH_RATE = 0.2
-    cfg.MVIT.DIM_MUL = [[1, 2.0], [3, 2.0], [14, 2.0]]
-    cfg.MVIT.HEAD_MUL = [[1, 2.0], [3, 2.0], [14, 2.0]]
+    # minimal member of the CSTS family: same 4-stage structure, depth 4, 16-dim,
+    # keeps CPU jit-compile time in CI tolerable
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.NUM_HEADS = 1
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
     cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
     cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 8, 8]
-    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [3, 1, 2, 2], [14, 1, 2, 2]]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [2, 1, 2, 2], [3, 1, 2, 2]]
     cfg.MODEL.LOSS_FUNC = "kldiv+egonce"
     cfg.MODEL.LOSS_ALPHA = 0.05
     cfg.SOLVER.BASE_LR = 1e-4
@@ -64,15 +69,23 @@ def make_batch(rng, batch_size):
 def setup():
     cfg = tiny_cfg()
     spec = csts_lib.build_spec(cfg)
-    state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
-    return cfg, spec, state, tx
+    state0, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
+    # keep a host-side copy: train_step donates its input state, so each test must
+    # materialize fresh device buffers
+    host_state = jax.tree_util.tree_map(np.asarray, state0)
+
+    def fresh_state():
+        return jax.tree_util.tree_map(jnp.asarray, host_state)
+
+    train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch=10)
+    return cfg, spec, fresh_state, tx, train_step
 
 
 def test_multi_device_training_descends(setup):
-    cfg, spec, state, tx = setup
+    cfg, spec, fresh_state, tx, train_step = setup
+    state = fresh_state()
     assert len(jax.devices()) == 8
     mesh = mesh_lib.make_mesh()
-    train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch=10)
 
     rng = np.random.default_rng(0)
     batch_np = make_batch(rng, 8)
@@ -94,20 +107,19 @@ def test_multi_device_training_descends(setup):
 def test_sharded_matches_single_device(setup):
     """DP over 8 devices == single-device on the same global batch (grad psum and
     global-batch EgoNCE must be semantically identical)."""
-    cfg, spec, state, tx = setup
-    train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch=10)
+    cfg, spec, fresh_state, tx, train_step = setup
     rng = np.random.default_rng(1)
     batch_np = make_batch(rng, 8)
 
     mesh = mesh_lib.make_mesh()
     with jax.sharding.set_mesh(mesh):
-        st8 = jax.device_put(state, mesh_lib.replicated(mesh))
+        st8 = jax.device_put(fresh_state(), mesh_lib.replicated(mesh))
         b8 = mesh_lib.shard_batch(mesh, batch_np)
         st8, stats8, _ = train_step(st8, b8, jax.random.PRNGKey(42))
 
     mesh1 = mesh_lib.make_mesh(num_devices=1)
     with jax.sharding.set_mesh(mesh1):
-        st1 = jax.device_put(state, mesh_lib.replicated(mesh1))
+        st1 = jax.device_put(fresh_state(), mesh_lib.replicated(mesh1))
         b1 = mesh_lib.shard_batch(mesh1, batch_np)
         st1, stats1, _ = train_step(st1, b1, jax.random.PRNGKey(42))
 
@@ -119,23 +131,24 @@ def test_sharded_matches_single_device(setup):
 
 
 def test_lr_follows_cosine_schedule(setup):
-    cfg, spec, state, tx = setup
-    train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch=2)
+    cfg, spec, fresh_state, tx, train_step = setup
+    state = fresh_state()
     rng = np.random.default_rng(2)
     batch = make_batch(rng, 8)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
     st = state
     lrs = []
-    for i in range(4):
+    for i in range(12):
         st, stats, _ = train_step(st, batch, jax.random.PRNGKey(i))
         lrs.append(float(stats["lr"]))
     # cosine decreasing from BASE_LR at epoch 0
     assert abs(lrs[0] - cfg.SOLVER.BASE_LR) < 1e-9
-    assert lrs[3] < lrs[0]
+    assert lrs[-1] < lrs[0]
 
 
 def test_eval_step_probabilities(setup):
-    cfg, spec, state, _ = setup
+    cfg, spec, fresh_state, _, _ = setup
+    state = fresh_state()
     eval_step = step_lib.make_eval_step(cfg, spec)
     rng = np.random.default_rng(3)
     batch = make_batch(rng, 2)
