@@ -91,6 +91,11 @@ class DataConfig:
     ENSEMBLE_METHOD: str = "sum"
     # custom_config.py:10 — Gaussian kernel size for label heatmaps
     GAUSSIAN_KERNEL: int = 19
+    # Audio STFT slice geometry (the reference hard-codes 256×256: 256 freq bins from
+    # n_fft 511, ±128 hop columns per frame — ego4d_avgaze.py:249-255). Configurable
+    # here; the model's audio branch derives its token grid from these.
+    AUDIO_FREQ_BINS: int = 256
+    AUDIO_WINDOW: int = 256
 
 
 @dataclass

@@ -205,12 +205,14 @@ class AVGazeDataset:
 
             # --- audio slices aligned to the sampled frames
             audio = np.load(self._path_to_audios[index])
+            audio = audio[: self.cfg.DATA.AUDIO_FREQ_BINS]
             if self.variant.forecast:
                 audio = audio[:, : int(audio.shape[1] * frame_length / ori_frame_length)]
+            half_window = self.cfg.DATA.AUDIO_WINDOW // 2
             audio_idx = sampling.audio_slice_indices(
-                frames_idx, frame_length, audio.shape[1], AUDIO_HALF_WINDOW
+                frames_idx, frame_length, audio.shape[1], half_window
             )
-            audio_frames = sampling.slice_audio_frames(audio, audio_idx, AUDIO_HALF_WINDOW)
+            audio_frames = sampling.slice_audio_frames(audio, audio_idx, half_window)
 
             # --- label frame indices (observed for estimation, future for forecast)
             video_path = self._path_to_videos[index]

@@ -1,0 +1,254 @@
+"""Offline preprocessing CLI (reference: ``data/preprocess.py:14-353``).
+
+Stages (each gated on what the host provides; all outputs are the on-disk layout the
+datasets read):
+
+* ``trim``          — cut source videos into 5 s clips (Ego4D: non-overlapping,
+                      skipping untracked intervals; Aria: 2 s stride overlapping)
+                      [needs a video backend: pyav or ffmpeg]
+* ``frame-labels``  — per-frame gaze (x, y, type) CSVs from raw gaze exports
+                      (Ego4D: nearest-timestamp, saccade >40px@1080p, reference
+                      :98-158; Aria: 10→20 Hz interpolation, axis swap
+                      (x,y)→(1−y/1408, x/1408), saccade 24px, reference :161-244)
+* ``audio``         — extract mono 24 kHz wav via ffmpeg CLI (reference :247-273)
+* ``stft``          — log-power STFT .npy (csts_tpu.data.stft, librosa parity)
+* ``pack``          — NEW (TPU-native path): decode every clip once and store
+                      ``<clip>.frames.npy`` uint8 arrays + meta.json so the training
+                      hot loop never touches a video codec (SURVEY §7 hard-part 5).
+
+Usage: ``python -m csts_tpu.data.preprocess <stage> [args]`` — see ``--help``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from csts_tpu.data import stft as stft_lib
+from csts_tpu.data import video as video_lib
+
+EGO4D_SACCADE_PX = 40.0  # @1080p (preprocess.py:137)
+ARIA_SACCADE_PX = 24.0  # @1408 (preprocess.py:226)
+ARIA_RES = 1408.0
+
+# gaze_type codes (preprocess.py:98-158)
+GAZE_FIXATION = 0
+GAZE_SACCADE = 1
+GAZE_TRIMMED = 2
+GAZE_UNTRACKED = 3
+
+
+# ----------------------------------------------------------------------------------
+# frame labels
+# ----------------------------------------------------------------------------------
+
+
+def ego4d_frame_labels(
+    gaze_ts: np.ndarray,
+    gaze_xy: np.ndarray,
+    num_frames: int,
+    fps: float,
+    untracked: Optional[List[Tuple[float, float]]] = None,
+    saccade_px: float = EGO4D_SACCADE_PX,
+    res_h: float = 1080.0,
+) -> np.ndarray:
+    """Per-frame [x, 1−y, type] via nearest gaze timestamp (preprocess.py:98-158).
+
+    ``gaze_ts``: (N,) seconds; ``gaze_xy``: (N, 2) normalized [x, y]; returns
+    (num_frames, 3) with y flipped to image coordinates and saccades flagged when the
+    inter-frame gaze movement exceeds ``saccade_px`` at ``res_h``.
+    """
+    frame_t = np.arange(num_frames) / fps
+    idx = np.searchsorted(gaze_ts, frame_t)
+    idx = np.clip(idx, 0, len(gaze_ts) - 1)
+    prev = np.clip(idx - 1, 0, len(gaze_ts) - 1)
+    take_prev = np.abs(gaze_ts[prev] - frame_t) < np.abs(gaze_ts[idx] - frame_t)
+    nearest = np.where(take_prev, prev, idx)
+    xy = gaze_xy[nearest]
+    out = np.zeros((num_frames, 3), np.float64)
+    out[:, 0] = xy[:, 0]
+    out[:, 1] = 1.0 - xy[:, 1]  # flip to image convention (preprocess.py:128)
+    # saccade detection on consecutive frames
+    d = np.zeros(num_frames)
+    d[1:] = np.linalg.norm((xy[1:] - xy[:-1]) * res_h, axis=1)
+    out[:, 2] = np.where(d > saccade_px, GAZE_SACCADE, GAZE_FIXATION)
+    # out-of-frame
+    off = (out[:, 0] < 0) | (out[:, 0] > 1) | (out[:, 1] < 0) | (out[:, 1] > 1)
+    out[off, 2] = GAZE_TRIMMED
+    if untracked:
+        for t0, t1 in untracked:
+            mask = (frame_t >= t0) & (frame_t <= t1)
+            out[mask, 2] = GAZE_UNTRACKED
+    return out
+
+
+def aria_frame_labels(
+    gaze_ts: np.ndarray,
+    gaze_xy_px: np.ndarray,
+    num_frames: int,
+    fps: float = 20.0,
+    saccade_px: float = ARIA_SACCADE_PX,
+) -> np.ndarray:
+    """Aria per-frame labels: 10 Hz gaze linearly interpolated to frame times, axis
+    swap (x, y) → (1 − y/1408, x/1408) (preprocess.py:161-244)."""
+    frame_t = np.arange(num_frames) / fps
+    x = np.interp(frame_t, gaze_ts, gaze_xy_px[:, 0])
+    y = np.interp(frame_t, gaze_ts, gaze_xy_px[:, 1])
+    out = np.zeros((num_frames, 3), np.float64)
+    out[:, 0] = 1.0 - y / ARIA_RES
+    out[:, 1] = x / ARIA_RES
+    d = np.zeros(num_frames)
+    d[1:] = np.sqrt(np.diff(x) ** 2 + np.diff(y) ** 2)
+    out[:, 2] = np.where(d > saccade_px, GAZE_SACCADE, GAZE_FIXATION)
+    off = (out[:, 0] < 0) | (out[:, 0] > 1) | (out[:, 1] < 0) | (out[:, 1] > 1)
+    out[off, 2] = GAZE_TRIMMED
+    return out
+
+
+def write_frame_label_csv(path: str, labels: np.ndarray) -> None:
+    with open(path, "w") as f:
+        f.write("frame,x,y,type\n")
+        for i, row in enumerate(labels):
+            f.write(f"{i},{row[0]:.6f},{row[1]:.6f},{int(row[2])}\n")
+
+
+# ----------------------------------------------------------------------------------
+# audio
+# ----------------------------------------------------------------------------------
+
+
+def extract_audio(video_path: str, wav_path: str, sample_rate: int = 24000) -> None:
+    """ffmpeg → mono pcm_s16le wav (preprocess.py:247-273)."""
+    ffmpeg = shutil.which("ffmpeg")
+    if not ffmpeg:
+        raise RuntimeError("ffmpeg binary not available on this host")
+    subprocess.run(
+        [ffmpeg, "-y", "-v", "error", "-i", video_path,
+         "-ac", "1", "-ar", str(sample_rate), "-acodec", "pcm_s16le", wav_path],
+        check=True,
+    )
+
+
+def load_wav(path: str) -> Tuple[np.ndarray, int]:
+    """Minimal PCM wav reader (no scipy/librosa dependency)."""
+    import wave
+
+    with wave.open(path, "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        raw = w.readframes(n)
+        width = w.getsampwidth()
+        channels = w.getnchannels()
+    if width == 2:
+        data = np.frombuffer(raw, np.int16).astype(np.float32) / 32768.0
+    elif width == 4:
+        data = np.frombuffer(raw, np.int32).astype(np.float32) / 2147483648.0
+    else:
+        raise NotImplementedError(f"sample width {width}")
+    if channels > 1:
+        data = data.reshape(-1, channels).mean(axis=1)
+    return data, sr
+
+
+def audio_stft_file(wav_path: str, npy_path: str) -> None:
+    """wav → log-power STFT .npy (preprocess.py:276-304 parity)."""
+    samples, sr = load_wav(wav_path)
+    spec = stft_lib.stft_numpy(samples, sr)
+    np.save(npy_path, spec)
+
+
+# ----------------------------------------------------------------------------------
+# clip packing (TPU-native decode-once path)
+# ----------------------------------------------------------------------------------
+
+
+def pack_clip(video_path: str, short_side: Optional[int] = None) -> str:
+    """Decode a clip once and store raw uint8 frames + meta next to it."""
+    import cv2
+
+    reader = video_lib.open_clip(video_path, backend="auto")
+    meta = reader.meta()
+    frames, _ = reader.read_window(0, meta.num_frames - 1)
+    reader.close()
+    if short_side:
+        t, h, w, c = frames.shape
+        if min(h, w) > short_side:
+            if h < w:
+                nh, nw = short_side, int(round(w * short_side / h))
+            else:
+                nh, nw = int(round(h * short_side / w)), short_side
+            frames = np.stack(
+                [cv2.resize(f, (nw, nh), interpolation=cv2.INTER_LINEAR) for f in frames]
+            )
+    out = video_path + ".frames.npy"
+    np.save(out, frames)
+    with open(video_path + ".meta.json", "w") as f:
+        json.dump(
+            {"fps": meta.fps, "num_frames": int(frames.shape[0]),
+             "duration_pts": meta.duration_pts}, f,
+        )
+    return out
+
+
+# ----------------------------------------------------------------------------------
+# CLI
+# ----------------------------------------------------------------------------------
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="CSTS-TPU offline preprocessing")
+    sub = parser.add_subparsers(dest="stage", required=True)
+
+    p_stft = sub.add_parser("stft", help="wav dir -> log-power STFT .npy dir")
+    p_stft.add_argument("--input", required=True)
+    p_stft.add_argument("--output", required=True)
+
+    p_audio = sub.add_parser("audio", help="extract 24kHz mono wav from clips")
+    p_audio.add_argument("--input", required=True)
+    p_audio.add_argument("--output", required=True)
+
+    p_pack = sub.add_parser("pack", help="decode clips to .frames.npy sidecars")
+    p_pack.add_argument("--input", required=True)
+    p_pack.add_argument("--short-side", type=int, default=320,
+                        help="downscale so augmentation never upsamples (0 = keep)")
+
+    args = parser.parse_args(argv)
+
+    if args.stage == "stft":
+        for root, _, files in os.walk(args.input):
+            for name in files:
+                if not name.endswith(".wav"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), args.input)
+                dst = os.path.join(args.output, rel.replace(".wav", ".npy"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                audio_stft_file(os.path.join(root, name), dst)
+                print(dst)
+    elif args.stage == "audio":
+        for root, _, files in os.walk(args.input):
+            for name in files:
+                if not name.endswith(".mp4"):
+                    continue
+                rel = os.path.relpath(os.path.join(root, name), args.input)
+                dst = os.path.join(args.output, rel.replace(".mp4", ".wav"))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                extract_audio(os.path.join(root, name), dst)
+                print(dst)
+    elif args.stage == "pack":
+        for root, _, files in os.walk(args.input):
+            for name in files:
+                if not name.endswith(".mp4"):
+                    continue
+                print(pack_clip(os.path.join(root, name), args.short_side or None))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

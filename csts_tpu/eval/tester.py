@@ -1,0 +1,70 @@
+"""Evaluation driver: ``test(cfg)`` (reference: ``tools/test_avgaze_net.py:21-141``).
+
+Loads the checkpoint (npz or converted .pyth), iterates the test loader through the
+jitted eval step, accumulates streaming whole-test-set adaptive-F1 + AUC, and emits
+the ``test_final`` JSON record — the headline number."""
+
+from __future__ import annotations
+
+import pprint
+
+import numpy as np
+
+import jax
+
+from csts_tpu.config import Config
+from csts_tpu.data import loader as loader_lib
+from csts_tpu.eval import metrics
+from csts_tpu.models import csts as csts_lib
+from csts_tpu.parallel import mesh as mesh_lib
+from csts_tpu.train import step as step_lib
+from csts_tpu.train.meters import TestGazeMeter
+from csts_tpu.utils import checkpoint as cu
+from csts_tpu.utils.logging import get_logger, setup_logging
+
+logger = get_logger(__name__)
+
+
+def test(cfg: Config) -> dict:
+    setup_logging(cfg.OUTPUT_DIR)
+    logger.info("Test with config:")
+    logger.info(pprint.pformat(cfg.dump()))
+
+    spec = csts_lib.build_spec(cfg)
+    mesh = mesh_lib.make_mesh(num_devices=cfg.NUM_DEVICES if cfg.NUM_DEVICES > 0 else None)
+    params = csts_lib.csts_init(jax.random.PRNGKey(cfg.RNG_SEED), spec)
+    params = cu.load_test_checkpoint(cfg, params)
+
+    test_loader = loader_lib.construct_loader(cfg, "test")
+    assert len(test_loader.dataset) % (
+        cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    ) == 0
+    eval_step = step_lib.make_eval_step(cfg, spec)
+    meter = TestGazeMeter(cfg.TEST.DATASET)
+
+    with jax.sharding.set_mesh(mesh):
+        params = jax.device_put(params, mesh_lib.replicated(mesh))
+        prefetch = loader_lib.DevicePrefetcher(
+            iter(test_loader), lambda b: mesh_lib.shard_batch(mesh, b),
+            depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
+        )
+        meter.iter_tic()
+        for cur_iter, batch in enumerate(prefetch):
+            meter.data_toc()
+            preds = eval_step(params, batch)
+            preds_rescaled = metrics.minmax_rescale(preds)
+            # per-batch diagnostic F1 (reference logs it; the real number is global)
+            f1, recall, precision, _ = metrics.adaptive_f1(
+                preds_rescaled, batch["labels_hm"], batch["labels"], cfg.TEST.DATASET
+            )
+            meter.iter_toc()
+            meter.update_stats(
+                np.asarray(preds_rescaled), np.asarray(batch["labels_hm"]),
+                np.asarray(batch["labels"]),
+            )
+            meter.log_iter_stats(cur_iter, cfg.LOG_PERIOD)
+            meter.iter_tic()
+
+    stats = meter.finalize_metrics()
+    logger.info("Testing finished: %s", stats)
+    return stats

@@ -1,0 +1,187 @@
+"""Fused multiscale-attention kernel (Pallas, TPU).
+
+The MViT attention after q/k/v pooling has a distinctive shape: queries can be long
+(16 384 tokens at the stem stage) but keys/values are always pooled short
+(≤ 4 096, usually 256 — the reference's POOL_KV_STRIDE_ADAPTIVE design,
+``custom_multimodal_builder.py:136-149``). XLA materializes the (B, H, Lq, Lk)
+probability tensor in HBM between the two matmuls — at the stem stage that is
+~134 MB of extra HBM write+read per block per batch-8 step.
+
+This kernel exploits the short-KV structure: K and V live entirely in VMEM, each
+grid step streams one query tile, computes logits, takes an exact single-pass
+softmax over the full row (no flash-style running max/sum needed when Lk fits), and
+multiplies into V — probabilities never leave VMEM.
+
+Backward: custom VJP recomputing the probabilities from (q, k, v) — flash-style
+rematerialization expressed in plain XLA (the backward is matmul-dominated and
+already MXU-friendly; the HBM win is in not saving the forward probabilities).
+
+Numerics: logits and softmax in fp32 regardless of input dtype, matching the XLA
+composite in models/mvit.py bit-closely (tested in interpret mode and vs the
+composite)."""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# Flipped by platform at import; overridable for tests/debug.
+_ENABLED: Optional[bool] = None
+
+
+def enabled() -> bool:
+    global _ENABLED
+    if _ENABLED is None:
+        try:
+            _ENABLED = jax.devices()[0].platform == "tpu"
+        except Exception:
+            _ENABLED = False
+    return _ENABLED
+
+
+def set_enabled(value: Optional[bool]) -> None:
+    global _ENABLED
+    _ENABLED = value
+
+
+def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float, with_mask: bool):
+    """One (batch·head, q-tile) grid step.
+
+    q_ref: (BLK_Q, hd); k_ref/v_ref: (Lk, hd); mask_ref: (BLK_Q, Lk) or None.
+    """
+    q = q_ref[:]
+    k = k_ref[:]
+    logits = jax.lax.dot_general(
+        q, k,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    logits = logits * scale
+    if with_mask:
+        logits = logits + mask_ref[:]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / denom
+    out = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[:] = out.astype(out_ref.dtype)
+
+
+def _pick_block_q(lq: int) -> int:
+    for blk in (512, 256, 128):
+        if lq % blk == 0:
+            return blk
+    return lq  # small/odd Lq: single tile
+
+
+def _fused_attention_fwd_impl(q, k, v, mask, scale: float, interpret: bool):
+    b, n, lq, hd = q.shape
+    lk = k.shape[2]
+    blk_q = _pick_block_q(lq)
+    bn = b * n
+    qf = q.reshape(bn, lq, hd)
+    kf = k.reshape(bn, lk, hd)
+    vf = v.reshape(bn, lk, hd)
+
+    with_mask = mask is not None
+    in_specs = [
+        pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0)),
+        pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0)),
+    ]
+    operands = [qf, kf, vf]
+    if with_mask:
+        in_specs.append(pl.BlockSpec((blk_q, lk), lambda i, j: (j, 0)))
+        operands.append(mask.astype(jnp.float32))
+
+    def kernel(*refs):
+        if with_mask:
+            q_ref, k_ref, v_ref, m_ref, out_ref = refs
+        else:
+            q_ref, k_ref, v_ref, out_ref = refs
+            m_ref = None
+        _attn_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0],
+            m_ref, out_ref.at[0], scale=scale, with_mask=with_mask,
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(bn, lq // blk_q),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((bn, lq, hd), q.dtype),
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(b, n, lq, hd)
+
+
+def _composite_probs(q, k, scale, mask):
+    logits = jnp.einsum(
+        "bnqd,bnkd->bnqk", q, k, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    ) * scale
+    if mask is not None:
+        logits = logits + mask
+    return jax.nn.softmax(logits, axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_attention(q, k, v, scale, has_mask, interpret, mask):
+    del has_mask
+    return _fused_attention_fwd_impl(q, k, v, mask, scale, interpret)
+
+
+def _fwd(q, k, v, scale, has_mask, interpret, mask):
+    out = _fused_attention_fwd_impl(q, k, v, mask, scale, interpret)
+    return out, (q, k, v, mask)
+
+
+def _bwd(scale, has_mask, interpret, residuals, g):
+    q, k, v, mask = residuals
+    p = _composite_probs(q, k, scale, mask)  # recompute (B, N, Lq, Lk) fp32
+    g32 = g.astype(jnp.float32)
+    v32 = v.astype(jnp.float32)
+    dv = jnp.einsum("bnqk,bnqd->bnkd", p, g32)
+    dp = jnp.einsum("bnqd,bnkd->bnqk", g32, v32)
+    dl = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    q32 = q.astype(jnp.float32)
+    k32 = k.astype(jnp.float32)
+    dq = jnp.einsum("bnqk,bnkd->bnqd", dl, k32) * scale
+    dk = jnp.einsum("bnqk,bnqd->bnkd", dl, q32) * scale
+    dmask = None
+    if mask is not None:
+        # mask broadcasts over (b, n); sum the logit grads accordingly
+        dmask = jnp.sum(dl, axis=tuple(range(dl.ndim - mask.ndim))).astype(jnp.float32)
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), dmask
+
+
+_fused_attention.defvjp(_fwd, _bwd)
+
+
+def fused_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    scale: float,
+    mask: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """softmax(q kᵀ · scale [+ mask]) v with VMEM-resident probabilities.
+
+    q: (B, N, Lq, hd); k, v: (B, N, Lk, hd); mask: (Lq, Lk) additive, optional.
+    Returns (B, N, Lq, hd) in q's dtype. Gradients supported (recompute backward).
+    """
+    if mask is not None:
+        assert mask.ndim == 2, "kernel mask is (Lq, Lk), broadcast over batch/heads"
+    return _fused_attention(q, k, v, float(scale), mask is not None, interpret, mask)

@@ -39,7 +39,8 @@ class CSTSSpec:
     patch_stride: Tuple[int, ...]
     patch_padding: Tuple[int, ...]
     embed_dim: int
-    patch_dims: THW  # (T, H, W) of the token grid after the stem
+    patch_dims: THW  # (T, H, W) of the video token grid after the stem
+    audio_patch_dims: THW  # (T, F', S') of the audio token grid after the stem
     sep_pos_embed: bool
     # encoder
     video_blocks: Tuple[AttentionSpec, ...]
@@ -49,7 +50,8 @@ class CSTSSpec:
     audio_groups: Tuple[Tuple[int, int], ...]
     # fusion
     token_dim: int
-    fusion_thw: THW  # (4, 8, 8)
+    fusion_thw: THW  # video grid at fusion, (4, 8, 8) at 256²
+    audio_fusion_thw: THW  # audio grid at fusion, (4, 8, 8) for 256² STFT slices
     spatial_fusion: AttentionSpec
     temporal_fusion: AttentionSpec
     spatial_audio_attn: bool
@@ -86,6 +88,11 @@ def build_spec(cfg: Config) -> CSTSSpec:
         temporal_size // patch_stride[0],
         spatial_size // patch_stride[1],
         spatial_size // patch_stride[2],
+    )
+    audio_patch_dims = (
+        temporal_size // patch_stride[0],
+        cfg.DATA.AUDIO_FREQ_BINS // patch_stride[1],
+        cfg.DATA.AUDIO_WINDOW // patch_stride[2],
     )
     depth = cfg.MVIT.DEPTH
     drop_path_rate = cfg.MVIT.DROPPATH_RATE
@@ -196,6 +203,8 @@ def build_spec(cfg: Config) -> CSTSSpec:
     audio_groups = ((0, 1), (1, 2), (2, 3), (3, 4))
 
     fusion_thw = _thw_after_blocks(patch_dims, video_blocks)
+    audio_fusion_thw = _thw_after_blocks(audio_patch_dims, audio_blocks)
+    assert audio_fusion_thw[0] == fusion_thw[0], "audio/video temporal grids must match"
 
     fusion_common = dict(
         dim=token_dim,
@@ -245,6 +254,7 @@ def build_spec(cfg: Config) -> CSTSSpec:
         patch_padding=tuple(cfg.MVIT.PATCH_PADDING),
         embed_dim=cfg.MVIT.EMBED_DIM,
         patch_dims=patch_dims,
+        audio_patch_dims=audio_patch_dims,
         sep_pos_embed=cfg.MVIT.SEP_POS_EMBED,
         video_blocks=tuple(video_blocks),
         audio_blocks=audio_blocks,
@@ -252,6 +262,7 @@ def build_spec(cfg: Config) -> CSTSSpec:
         audio_groups=audio_groups,
         token_dim=token_dim,
         fusion_thw=fusion_thw,
+        audio_fusion_thw=audio_fusion_thw,
         spatial_fusion=spatial_fusion,
         temporal_fusion=temporal_fusion,
         spatial_audio_attn=cfg.MVIT.SPATIAL_AUDIO_ATTN,
@@ -296,15 +307,15 @@ def csts_init(key: jax.Array, spec: CSTSSpec, dtype=jnp.float32) -> dict:
             next(keys), 1, spec.embed_dim, spec.patch_kernel, dtype=dtype
         ),
     }
+    ta, fa, sa = spec.audio_patch_dims
     if spec.sep_pos_embed:
         p["pos_embed_spatial"] = ops.trunc_normal(next(keys), (1, h * w, spec.embed_dim), dtype=dtype)
         p["pos_embed_temporal"] = ops.trunc_normal(next(keys), (1, t, spec.embed_dim), dtype=dtype)
-        p["pos_embed_spatial_audio"] = ops.trunc_normal(next(keys), (1, h * w, spec.embed_dim), dtype=dtype)
-        p["pos_embed_temporal_audio"] = ops.trunc_normal(next(keys), (1, t, spec.embed_dim), dtype=dtype)
+        p["pos_embed_spatial_audio"] = ops.trunc_normal(next(keys), (1, fa * sa, spec.embed_dim), dtype=dtype)
+        p["pos_embed_temporal_audio"] = ops.trunc_normal(next(keys), (1, ta, spec.embed_dim), dtype=dtype)
     else:
-        n = t * h * w
-        p["pos_embed"] = ops.trunc_normal(next(keys), (1, n, spec.embed_dim), dtype=dtype)
-        p["pos_embed_audio"] = ops.trunc_normal(next(keys), (1, n, spec.embed_dim), dtype=dtype)
+        p["pos_embed"] = ops.trunc_normal(next(keys), (1, t * h * w, spec.embed_dim), dtype=dtype)
+        p["pos_embed_audio"] = ops.trunc_normal(next(keys), (1, ta * fa * sa, spec.embed_dim), dtype=dtype)
 
     p["blocks"] = [mvit.multiscale_block_init(next(keys), b, dtype) for b in spec.video_blocks]
     p["blocks_audio"] = [mvit.multiscale_block_init(next(keys), b, dtype) for b in spec.audio_blocks]
@@ -314,9 +325,10 @@ def csts_init(key: jax.Array, spec: CSTSSpec, dtype=jnp.float32) -> dict:
         p["vision_proj"] = ops.linear_init(next(keys), td, spec.nce_embed_dim, dtype=dtype)
         p["audio_proj"] = ops.linear_init(next(keys), td, spec.nce_embed_dim, dtype=dtype)
     fh, fw = spec.fusion_thw[1], spec.fusion_thw[2]
+    afh, afw = spec.audio_fusion_thw[1], spec.audio_fusion_thw[2]
     p["vision_pool"] = ops.conv3d_init(next(keys), td, td, (1, fh, fw), dtype=dtype)
-    p["audio_pool"] = ops.conv3d_init(next(keys), td, td, (1, fh, fw), dtype=dtype)
-    p["audio_pool2"] = ops.conv3d_init(next(keys), td, td, (1, fh, fw), dtype=dtype)
+    p["audio_pool"] = ops.conv3d_init(next(keys), td, td, (1, afh, afw), dtype=dtype)
+    p["audio_pool2"] = ops.conv3d_init(next(keys), td, td, (1, afh, afw), dtype=dtype)
 
     p["temporal_fusion"] = mvit.multiscale_block_init(next(keys), spec.temporal_fusion, dtype)
     p["spatial_fusion"] = mvit.multiscale_block_init(next(keys), spec.spatial_fusion, dtype)
@@ -342,7 +354,7 @@ def _patch_embed(p: dict, spec: CSTSSpec, x: jax.Array) -> jax.Array:
 
 def _pos_embed(p: dict, spec: CSTSSpec, audio: bool) -> jax.Array:
     """Separable pos embed: spatial tiled over T + temporal repeated over HW (:362-366)."""
-    t, h, w = spec.patch_dims
+    t, h, w = spec.audio_patch_dims if audio else spec.patch_dims
     if spec.sep_pos_embed:
         suffix = "_audio" if audio else ""
         pe = jnp.tile(p[f"pos_embed_spatial{suffix}"], (1, t, 1)) + jnp.repeat(
@@ -387,7 +399,7 @@ def csts_apply(
     y = y + _pos_embed(params, spec, audio=True).astype(cdt)
 
     thw: THW = spec.patch_dims
-    thw_audio: THW = spec.patch_dims
+    thw_audio: THW = spec.audio_patch_dims
 
     if rng is None:
         rng = jax.random.PRNGKey(0)

@@ -1,0 +1,276 @@
+"""Training/validation/test meters (reference: ``slowfast/utils/meters.py:200-530``).
+
+Same observable behaviour — windowed medians for iter stats, sample-weighted epoch
+aggregates, ETA, ``json_stats`` records of types "train_iter"/"train_epoch"/
+"val_iter"/"val_epoch"/"test_final" — without fvcore: a small deque ScalarMeter and
+perf_counter timers.
+"""
+
+from __future__ import annotations
+
+import datetime
+import time
+from collections import deque
+from typing import Dict, Optional
+
+import numpy as np
+
+from csts_tpu.eval.metrics import StreamingF1
+from csts_tpu.utils.logging import log_json_stats
+
+
+class Timer:
+    def __init__(self):
+        self.reset()
+
+    def reset(self):
+        self._start = time.perf_counter()
+        self._paused = None
+        self._total = 0.0
+
+    def pause(self):
+        if self._paused is None:
+            self._total += time.perf_counter() - self._start
+            self._paused = True
+
+    def resume(self):
+        self._start = time.perf_counter()
+        self._paused = None
+
+    def seconds(self) -> float:
+        if self._paused is None:
+            return self._total + (time.perf_counter() - self._start)
+        return self._total
+
+
+class ScalarMeter:
+    """Windowed scalar tracker (meters.py equivalent of fvcore's)."""
+
+    def __init__(self, window_size: int = 10):
+        self.deque = deque(maxlen=window_size)
+        self.total = 0.0
+        self.count = 0
+
+    def reset(self):
+        self.deque.clear()
+        self.total = 0.0
+        self.count = 0
+
+    def add_value(self, value: float):
+        self.deque.append(value)
+        self.count += 1
+        self.total += value
+
+    def get_win_median(self) -> float:
+        return float(np.median(self.deque)) if self.deque else 0.0
+
+    def get_global_avg(self) -> float:
+        return self.total / max(self.count, 1)
+
+
+def _eta(seconds_per_iter: float, iters_left: int) -> str:
+    return str(datetime.timedelta(seconds=int(seconds_per_iter * max(iters_left, 0))))
+
+
+class TrainGazeMeter:
+    """(meters.py:200-339)"""
+
+    def __init__(self, epoch_iters: int, cfg):
+        self.cfg = cfg
+        self.epoch_iters = epoch_iters
+        self.max_iter = cfg.SOLVER.MAX_EPOCH * epoch_iters
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.loss = ScalarMeter(cfg.LOG_PERIOD)
+        self.f1 = ScalarMeter(cfg.LOG_PERIOD)
+        self.recall = ScalarMeter(cfg.LOG_PERIOD)
+        self.precision = ScalarMeter(cfg.LOG_PERIOD)
+        self.lr = 0.0
+        self.reset_epoch_stats()
+
+    def reset_epoch_stats(self):
+        self.loss_total = 0.0
+        self.f1_total = 0.0
+        self.recall_total = 0.0
+        self.precision_total = 0.0
+        self.num_samples = 0
+
+    reset = reset_epoch_stats
+
+    def iter_tic(self):
+        self.iter_timer.reset()
+        self.data_timer.reset()
+
+    def iter_toc(self):
+        self.iter_timer.pause()
+        self.net_timer.pause()
+
+    def data_toc(self):
+        self.data_timer.pause()
+        self.net_timer.reset()
+
+    def update_stats(self, f1, recall, precision, threshold, loss, lr, mb_size):
+        self.loss.add_value(loss)
+        self.f1.add_value(f1)
+        self.recall.add_value(recall)
+        self.precision.add_value(precision)
+        self.lr = lr
+        self.loss_total += loss * mb_size
+        self.f1_total += f1 * mb_size
+        self.recall_total += recall * mb_size
+        self.precision_total += precision * mb_size
+        self.num_samples += mb_size
+
+    def log_iter_stats(self, cur_epoch: int, cur_iter: int):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        iters_left = self.max_iter - (cur_epoch * self.epoch_iters + cur_iter + 1)
+        stats = {
+            "_type": "train_iter",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+            "iter": f"{cur_iter + 1}/{self.epoch_iters}",
+            "dt": self.iter_timer.seconds(),
+            "dt_data": self.data_timer.seconds(),
+            "dt_net": self.net_timer.seconds(),
+            "eta": _eta(self.iter_timer.seconds(), iters_left),
+            "loss": self.loss.get_win_median(),
+            "f1": self.f1.get_win_median(),
+            "recall": self.recall.get_win_median(),
+            "precision": self.precision.get_win_median(),
+            "lr": self.lr,
+        }
+        log_json_stats(stats)
+
+    def log_epoch_stats(self, cur_epoch: int):
+        n = max(self.num_samples, 1)
+        stats = {
+            "_type": "train_epoch",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+            "loss": self.loss_total / n,
+            "f1": self.f1_total / n,
+            "recall": self.recall_total / n,
+            "precision": self.precision_total / n,
+            "lr": self.lr,
+        }
+        log_json_stats(stats)
+
+
+class ValGazeMeter:
+    """(meters.py:342-475) — fixation-count-weighted epoch aggregates."""
+
+    def __init__(self, epoch_iters: int, cfg):
+        self.cfg = cfg
+        self.epoch_iters = epoch_iters
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.f1 = ScalarMeter(cfg.LOG_PERIOD)
+        self.recall = ScalarMeter(cfg.LOG_PERIOD)
+        self.precision = ScalarMeter(cfg.LOG_PERIOD)
+        self.reset()
+
+    def reset(self):
+        self.f1_total = 0.0
+        self.recall_total = 0.0
+        self.precision_total = 0.0
+        self.num_fixations = 0
+
+    iter_tic = TrainGazeMeter.iter_tic
+    iter_toc = TrainGazeMeter.iter_toc
+    data_toc = TrainGazeMeter.data_toc
+
+    def update_stats(self, f1, recall, precision, labels, threshold, fixation_idx: int = 0):
+        self.f1.add_value(f1)
+        self.recall.add_value(recall)
+        self.precision.add_value(precision)
+        weight = int(np.sum(np.asarray(labels)[:, :, 2] == fixation_idx))
+        self.f1_total += f1 * weight
+        self.recall_total += recall * weight
+        self.precision_total += precision * weight
+        self.num_fixations += weight
+
+    def log_iter_stats(self, cur_epoch: int, cur_iter: int):
+        if (cur_iter + 1) % self.cfg.LOG_PERIOD != 0:
+            return
+        log_json_stats({
+            "_type": "val_iter",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+            "iter": f"{cur_iter + 1}/{self.epoch_iters}",
+            "dt": self.iter_timer.seconds(),
+            "f1": self.f1.get_win_median(),
+            "recall": self.recall.get_win_median(),
+            "precision": self.precision.get_win_median(),
+        })
+
+    def log_epoch_stats(self, cur_epoch: int):
+        n = max(self.num_fixations, 1)
+        log_json_stats({
+            "_type": "val_epoch",
+            "epoch": f"{cur_epoch + 1}/{self.cfg.SOLVER.MAX_EPOCH}",
+            "f1": self.f1_total / n,
+            "recall": self.recall_total / n,
+            "precision": self.precision_total / n,
+        })
+
+
+class TestGazeMeter:
+    """Whole-test-set metrics (meters.py:23-197) via the streaming accumulator —
+    the reference concatenates every prediction on host (meters.py:133-136); this
+    keeps O(num_thresholds) state instead and adds AUC."""
+
+    def __init__(self, dataset: str):
+        self.stream = StreamingF1(dataset)
+        self.iter_timer = Timer()
+        self.data_timer = Timer()
+        self.net_timer = Timer()
+        self.stats: Optional[Dict] = None
+
+    iter_tic = TrainGazeMeter.iter_tic
+    iter_toc = TrainGazeMeter.iter_toc
+    data_toc = TrainGazeMeter.data_toc
+
+    def update_stats(self, preds, labels_hm, labels):
+        self.stream.update(preds, labels_hm, labels)
+
+    def log_iter_stats(self, cur_iter: int, log_period: int = 10):
+        if (cur_iter + 1) % log_period != 0:
+            return
+        log_json_stats({
+            "_type": "test_iter",
+            "cur_iter": cur_iter + 1,
+            "dt": self.iter_timer.seconds(),
+        })
+
+    def finalize_metrics(self) -> Dict:
+        result = self.stream.finalize()
+        self.stats = {"_type": "test_final", **result}
+        log_json_stats(self.stats)
+        return self.stats
+
+
+class EpochTimer:
+    """(meters.py:478-530)"""
+
+    def __init__(self):
+        self.timer = Timer()
+        self.epoch_times = []
+
+    def reset(self):
+        self.epoch_times = []
+
+    def epoch_tic(self):
+        self.timer.reset()
+
+    def epoch_toc(self):
+        self.timer.pause()
+        self.epoch_times.append(self.timer.seconds())
+
+    def last_epoch_time(self):
+        return self.epoch_times[-1]
+
+    def avg_epoch_time(self):
+        return float(np.mean(self.epoch_times))
+
+    def median_epoch_time(self):
+        return float(np.median(self.epoch_times))

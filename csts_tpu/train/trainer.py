@@ -1,0 +1,143 @@
+"""The training driver: ``train(cfg)`` (reference: ``tools/train_avgaze_net.py:25-361``).
+
+Host-side orchestration around the jitted train/eval steps: seeding, state build,
+auto-resume, per-epoch loader shuffling, metric computation, meters/JSON logs,
+checkpoint cadence, validation cadence. All device work happens inside
+``make_train_step``'s single compiled program.
+"""
+
+from __future__ import annotations
+
+import pprint
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from csts_tpu.config import Config
+from csts_tpu.data import loader as loader_lib
+from csts_tpu.eval import metrics
+from csts_tpu.models import csts as csts_lib
+from csts_tpu.parallel import mesh as mesh_lib
+from csts_tpu.train import step as step_lib
+from csts_tpu.train.meters import EpochTimer, TrainGazeMeter, ValGazeMeter
+from csts_tpu.utils import checkpoint as cu
+from csts_tpu.utils.logging import get_logger, setup_logging
+
+logger = get_logger(__name__)
+
+
+def train(cfg: Config) -> None:
+    setup_logging(cfg.OUTPUT_DIR)
+    logger.info("Train with config:")
+    logger.info(pprint.pformat(cfg.dump()))
+
+    spec = csts_lib.build_spec(cfg)
+    mesh = mesh_lib.make_mesh(num_devices=cfg.NUM_DEVICES if cfg.NUM_DEVICES > 0 else None)
+
+    key = jax.random.PRNGKey(cfg.RNG_SEED)
+    state, tx = step_lib.create_train_state(cfg, spec, key)
+
+    train_loader = loader_lib.construct_loader(cfg, "train")
+    val_loader = loader_lib.construct_loader(cfg, "val")
+    steps_per_epoch = max(len(train_loader), 1)
+
+    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch)
+    eval_step = step_lib.make_eval_step(cfg, spec)
+
+    train_meter = TrainGazeMeter(len(train_loader), cfg)
+    val_meter = ValGazeMeter(len(val_loader), cfg)
+    epoch_timer = EpochTimer()
+
+    with jax.sharding.set_mesh(mesh):
+        state = jax.device_put(state, mesh_lib.replicated(mesh))
+        logger.info("Start epoch: %d", start_epoch + 1)
+
+        for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+            train_loader.set_epoch(cur_epoch)
+            epoch_timer.epoch_tic()
+            state = _train_epoch(
+                train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh
+            )
+            epoch_timer.epoch_toc()
+            logger.info(
+                "Epoch %d takes %.2fs (avg %.2fs/iter).",
+                cur_epoch + 1, epoch_timer.last_epoch_time(),
+                epoch_timer.last_epoch_time() / max(len(train_loader), 1),
+            )
+
+            if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
+                host_state = jax.tree_util.tree_map(np.asarray, state)
+                cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch, cfg)
+            if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
+                _eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh)
+
+    logger.info("Training finished!")
+
+
+def _train_epoch(train_loader, state, train_step, meter, cur_epoch, cfg, mesh):
+    meter.iter_tic()
+    data_size = len(train_loader)
+    base_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.RNG_SEED), cur_epoch)
+    dataset_name = cfg.TRAIN.DATASET
+
+    prefetch = loader_lib.DevicePrefetcher(
+        iter(train_loader), lambda b: mesh_lib.shard_batch(mesh, b),
+        depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
+    )
+    for cur_iter, batch in enumerate(prefetch):
+        meter.data_toc()
+        rng = jax.random.fold_in(base_rng, cur_iter)
+        state, stats, preds = train_step(state, batch, rng)
+
+        loss = float(stats["loss"])
+        lr = float(stats["lr"])
+        step_lib.check_nan_loss(loss, cur_iter)
+
+        # metrics on the global batch (preds are sharded; metric jit handles it)
+        preds_rescaled = metrics.minmax_rescale(preds)
+        f1, recall, precision, threshold = metrics.adaptive_f1(
+            preds_rescaled, batch["labels_hm"], batch["labels"], dataset_name
+        )
+        meter.update_stats(
+            f1, recall, precision, threshold, loss, lr,
+            mb_size=batch["labels"].shape[0],
+        )
+        if "egonce_loss" in stats and (cur_iter + 1) % cfg.LOG_PERIOD == 0:
+            logger.info(
+                "Iter %d: kld_loss %.4f, egonce_loss %.4f, loss %.4f",
+                cur_iter + 1, float(stats["kldiv_loss"]),
+                float(stats["egonce_loss"]), loss,
+            )
+        meter.iter_toc()
+        meter.log_iter_stats(cur_epoch, cur_iter)
+        meter.iter_tic()
+
+    meter.log_epoch_stats(cur_epoch)
+    meter.reset()
+    return state
+
+
+def _eval_epoch(val_loader, state, eval_step, meter, cur_epoch, cfg, mesh):
+    meter.iter_tic()
+    dataset_name = cfg.TRAIN.DATASET
+    fix_idx = metrics.fixation_index(dataset_name)
+    prefetch = loader_lib.DevicePrefetcher(
+        iter(val_loader), lambda b: mesh_lib.shard_batch(mesh, b),
+        depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
+    )
+    for cur_iter, batch in enumerate(prefetch):
+        meter.data_toc()
+        preds = eval_step(state.params, batch)
+        preds_rescaled = metrics.minmax_rescale(preds)
+        f1, recall, precision, threshold = metrics.adaptive_f1(
+            preds_rescaled, batch["labels_hm"], batch["labels"], dataset_name
+        )
+        meter.iter_toc()
+        meter.update_stats(f1, recall, precision, np.asarray(batch["labels"]), threshold, fix_idx)
+        meter.log_iter_stats(cur_epoch, cur_iter)
+        meter.iter_tic()
+    meter.log_epoch_stats(cur_epoch)
+    meter.reset()

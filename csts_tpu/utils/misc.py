@@ -1,0 +1,88 @@
+"""Model stats, memory reporting, benchmark helpers.
+
+Reference: ``slowfast/utils/misc.py:26-221`` (params/flops/memory logging, NaN
+guard, eval-epoch cadence) and ``slowfast/utils/benchmark.py:20-103`` (data-loading
+benchmark)."""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Dict
+
+import numpy as np
+
+import jax
+
+from csts_tpu.utils.logging import get_logger, log_json_stats
+
+logger = get_logger(__name__)
+
+
+def params_count(params: Any) -> int:
+    """(misc.py:37-44)"""
+    return int(sum(np.prod(np.shape(p)) for p in jax.tree_util.tree_leaves(params)))
+
+
+def params_bytes(params: Any) -> int:
+    return int(
+        sum(np.prod(np.shape(p)) * np.dtype(np.asarray(p).dtype).itemsize
+            for p in jax.tree_util.tree_leaves(params))
+    )
+
+
+def flops_count(fn, *example_args) -> float:
+    """Analytical FLOPs from XLA's cost analysis of the jitted forward — replaces
+    fvcore's activation tracing (misc.py:78-124)."""
+    lowered = jax.jit(fn).lower(*example_args)
+    compiled = lowered.compile()
+    cost = compiled.cost_analysis()
+    if isinstance(cost, list):  # older jax returns a list per computation
+        cost = cost[0]
+    return float(cost.get("flops", float("nan"))) if cost else float("nan")
+
+
+def log_model_info(params: Any, fn=None, example_args=()) -> Dict[str, float]:
+    stats = {
+        "params": params_count(params),
+        "param_bytes": params_bytes(params),
+    }
+    if fn is not None:
+        try:
+            stats["gflops"] = flops_count(fn, *example_args) / 1e9
+        except Exception as e:  # cost analysis is best-effort across backends
+            logger.info("flops_count unavailable: %s", e)
+    logger.info("Model info: %s", stats)
+    return stats
+
+
+def is_eval_epoch(cfg, cur_epoch: int) -> bool:
+    """(misc.py:207-221)"""
+    if cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH:
+        return True
+    return (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0
+
+
+def benchmark_data_loading(cfg, num_batches: int = 20) -> Dict[str, float]:
+    """Loader-only throughput (benchmark.py:20-103): batches/sec and clips/sec of
+    the host input pipeline, no device work."""
+    from csts_tpu.data import loader as loader_lib
+
+    loader = loader_lib.construct_loader(cfg, "train")
+    loader.set_epoch(0)
+    it = iter(loader)
+    # warmup one batch (thread pool spinup)
+    next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for batch in it:
+        n += 1
+        if n >= num_batches:
+            break
+    dt = time.perf_counter() - t0
+    stats = {
+        "batches_per_sec": n / dt,
+        "clips_per_sec": n * loader.local_batch_size / dt,
+        "batch_size": loader.local_batch_size,
+    }
+    log_json_stats({"_type": "data_benchmark", **stats})
+    return stats

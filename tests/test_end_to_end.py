@@ -1,0 +1,211 @@
+"""End-to-end: synthetic mini-dataset → train epochs → checkpoint/resume → test.
+
+SURVEY §4 pyramid level 4: exercises the dataset (npy decode backend, audio slicing,
+forecast label math, gaze-aware transforms, heatmaps), the loader, the full training
+driver, checkpointing, and the evaluation driver with streaming metrics — everything
+tools/run_net.py touches, on a tiny family config.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from csts_tpu.config import get_cfg
+
+FRAMES_PER_CLIP = 150
+FPS = 30
+NUM_CLIPS = 4
+RES = (40, 56)  # (H, W) source resolution
+CROP = 32
+
+
+def make_synthetic_dataset(root):
+    """Layout mirrors the reference's on-disk structure (ego4d_avgaze.py:95-150)."""
+    rng = np.random.default_rng(0)
+    prefix = os.path.join(root, "clips.gaze")
+    video_name = "vid001"
+    os.makedirs(os.path.join(prefix, video_name))
+    os.makedirs(os.path.join(root, "clips.gaze.audio_stft", video_name))
+    os.makedirs(os.path.join(root, "gaze_frame_label"))
+    os.makedirs(os.path.join(root, "splits"))
+
+    rel_paths = []
+    for c in range(NUM_CLIPS):
+        t0, t1 = c * 5, c * 5 + 5
+        clip = f"clip{c:02d}_t{t0}_t{t1}.mp4"
+        rel = f"{video_name}/{clip}"
+        rel_paths.append(rel)
+        frames = rng.integers(0, 255, (FRAMES_PER_CLIP, *RES, 3), dtype=np.uint8)
+        np.save(os.path.join(prefix, rel + ".frames.npy"), frames)
+        with open(os.path.join(prefix, rel + ".meta.json"), "w") as f:
+            json.dump({"fps": FPS, "duration_pts": FRAMES_PER_CLIP * 512}, f)
+        stft = rng.standard_normal((256, 1000)).astype(np.float32)
+        np.save(
+            os.path.join(root, "clips.gaze.audio_stft", video_name, clip.replace(".mp4", ".npy")),
+            stft,
+        )
+
+    total_frames = NUM_CLIPS * 5 * FPS + 10
+    with open(os.path.join(root, "gaze_frame_label", f"{video_name}_frame_label.csv"), "w") as f:
+        f.write("frame,x,y,type\n")
+        for i in range(total_frames):
+            x, y = rng.uniform(0.3, 0.7), rng.uniform(0.3, 0.7)
+            gtype = 0 if i % 5 else 1  # mostly fixations
+            f.write(f"{i},{x:.4f},{y:.4f},{gtype}\n")
+
+    for split in ("train_ego4d_gaze.csv", "test_ego4d_gaze.csv"):
+        with open(os.path.join(root, "splits", split), "w") as f:
+            f.write("\n".join(rel_paths) + "\n")
+    return prefix
+
+
+def make_e2e_cfg(root, out_dir):
+    cfg = get_cfg()
+    cfg.DATA.PATH_PREFIX = os.path.join(root, "clips.gaze")
+    cfg.DATA.PATH_TO_DATA_DIR = os.path.join(root, "splits")
+    cfg.DATA.TRAIN_CROP_SIZE = CROP
+    cfg.DATA.TEST_CROP_SIZE = CROP
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.DATA.SAMPLING_RATE = 8
+    cfg.DATA.TRAIN_JITTER_SCALES = [36, 40]
+    cfg.DATA.TARGET_FPS = FPS
+    cfg.DATA.GAUSSIAN_KERNEL = 5  # heatmaps are 8x8 at crop 32
+    cfg.DATA.DECODING_BACKEND = "npy"
+    cfg.DATA.AUDIO_FREQ_BINS = 32
+    cfg.DATA.AUDIO_WINDOW = 32
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MVIT.SEP_POS_EMBED = True
+    cfg.MVIT.DROPPATH_RATE = 0.2
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 8, 8]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [2, 1, 2, 2], [3, 1, 2, 2]]
+    cfg.MODEL.LOSS_FUNC = "kldiv+egonce"
+    cfg.MODEL.LOSS_ALPHA = 0.05
+    cfg.SOLVER.BASE_LR = 1e-3
+    cfg.SOLVER.COSINE_END_LR = 1e-5
+    cfg.SOLVER.MAX_EPOCH = 2
+    cfg.SOLVER.OPTIMIZING_METHOD = "adamw"
+    cfg.SOLVER.WEIGHT_DECAY = 0.05
+    cfg.SOLVER.CLIP_GRAD_L2NORM = 1.0
+    cfg.SOLVER.ZERO_WD_1D_PARAM = True
+    cfg.TRAIN.DATASET = "ego4d_av_gaze_forecast"
+    cfg.TRAIN.BATCH_SIZE = 4
+    cfg.TRAIN.EVAL_PERIOD = 2
+    cfg.TRAIN.CHECKPOINT_PERIOD = 1
+    cfg.TEST.DATASET = "ego4d_av_gaze_forecast"
+    cfg.TEST.BATCH_SIZE = 4
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 1
+    cfg.TEST.NUM_SPATIAL_CROPS = 1
+    cfg.DATA_LOADER.NUM_WORKERS = 2
+    cfg.NUM_DEVICES = 4
+    cfg.OUTPUT_DIR = out_dir
+    cfg.LOG_PERIOD = 1
+    cfg.finalize()
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def synthetic_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("csts_data")
+    make_synthetic_dataset(str(root))
+    return str(root)
+
+
+def test_dataset_getitem(synthetic_root, tmp_path):
+    from csts_tpu.data.datasets import build_dataset
+
+    cfg = make_e2e_cfg(synthetic_root, str(tmp_path))
+    ds = build_dataset("ego4d_av_gaze_forecast", cfg, "train")
+    assert len(ds) == NUM_CLIPS
+    sample = ds.__getitem__(0, rng=np.random.default_rng(1))
+    assert sample["video"].shape == (8, CROP, CROP, 3)
+    assert sample["audio"].shape == (8, 32, 32, 1)
+    assert sample["labels"].shape == (8, 3)
+    assert sample["labels_hm"].shape == (8, CROP // 4, CROP // 4)
+    np.testing.assert_allclose(sample["labels_hm"].sum(axis=(1, 2)), 1.0, atol=1e-5)
+    # forecast labels must come from the future: all label indices > all observed
+    assert sample["meta"]["labels_index"].min() >= 0
+    # test split: deterministic windows
+    ds_test = build_dataset("ego4d_av_gaze_forecast", cfg, "test")
+    s1 = ds_test.__getitem__(1, rng=np.random.default_rng(2))
+    s2 = ds_test.__getitem__(1, rng=np.random.default_rng(3))
+    np.testing.assert_array_equal(s1["video"], s2["video"])
+    np.testing.assert_array_equal(s1["meta"]["labels_index"], np.linspace(86, 149, 8).astype(int) + 1 * 5 * FPS)
+
+
+def test_estimation_dataset(synthetic_root, tmp_path):
+    from csts_tpu.data.datasets import build_dataset
+
+    cfg = make_e2e_cfg(synthetic_root, str(tmp_path))
+    ds = build_dataset("ego4d_av_gaze", cfg, "test")
+    sample = ds.__getitem__(0, rng=np.random.default_rng(1))
+    # estimation: labels at the observed frames themselves
+    np.testing.assert_array_equal(sample["meta"]["labels_index"], sample["meta"]["index"])
+
+
+def test_loader_batches(synthetic_root, tmp_path):
+    from csts_tpu.data import loader as loader_lib
+    from csts_tpu.data.datasets import build_dataset
+
+    cfg = make_e2e_cfg(synthetic_root, str(tmp_path))
+    ds = build_dataset("ego4d_av_gaze_forecast", cfg, "train")
+    loader = loader_lib.GazeLoader(ds, batch_size=4, shuffle=True, num_workers=2, seed=0)
+    loader.set_epoch(0)
+    batches = list(loader)
+    assert len(batches) == 1
+    assert batches[0]["video"].shape == (4, 8, CROP, CROP, 3)
+    # epoch seeding: same epoch -> same order/augments; different epoch -> different
+    again = list(loader)[0]
+    np.testing.assert_array_equal(batches[0]["video"], again["video"])
+    loader.set_epoch(1)
+    other = list(loader)[0]
+    assert not np.array_equal(batches[0]["video"], other["video"])
+
+
+def test_train_and_test_end_to_end(synthetic_root, tmp_path):
+    from csts_tpu.eval.tester import test as run_test
+    from csts_tpu.train.trainer import train as run_train
+    from csts_tpu.utils import checkpoint as cu
+
+    out = str(tmp_path / "out")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    run_train(cfg)
+    # checkpoints written each epoch
+    assert cu.has_checkpoint(out)
+    last = cu.get_last_checkpoint(out)
+    assert "00002" in last
+
+    stats = run_test(cfg)
+    assert stats["_type"] == "test_final"
+    for k in ("f1", "recall", "precision", "auc", "threshold"):
+        assert np.isfinite(stats[k]), stats
+    assert 0.0 <= stats["auc"] <= 1.0
+
+
+def test_auto_resume(synthetic_root, tmp_path):
+    from csts_tpu.models import csts as csts_lib
+    from csts_tpu.train import step as step_lib
+    from csts_tpu.utils import checkpoint as cu
+    import jax
+
+    out = str(tmp_path / "resume")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    spec = csts_lib.build_spec(cfg)
+    state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
+    host = jax.tree_util.tree_map(np.asarray, state)
+    cu.save_checkpoint(out, host, epoch=0, cfg=cfg)
+    restored, start_epoch = cu.load_train_checkpoint(cfg, state)
+    assert start_epoch == 1
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["classifier"]["w"]),
+        np.asarray(host.params["classifier"]["w"]),
+    )

@@ -33,6 +33,8 @@ def make_cfg(loss_func="kldiv+egonce"):
     cfg.DATA.TEST_CROP_SIZE = CROP
     cfg.DATA.NUM_FRAMES = FRAMES
     cfg.DATA.INPUT_CHANNEL_NUM = [3]
+    cfg.DATA.AUDIO_FREQ_BINS = CROP  # oracle couples audio size to crop size
+    cfg.DATA.AUDIO_WINDOW = CROP
     cfg.MVIT.PATCH_KERNEL = [3, 7, 7]
     cfg.MVIT.PATCH_STRIDE = [2, 4, 4]
     cfg.MVIT.PATCH_PADDING = [1, 3, 3]

@@ -24,6 +24,8 @@ def tiny_cfg():
     cfg.DATA.TRAIN_CROP_SIZE = CROP
     cfg.DATA.TEST_CROP_SIZE = CROP
     cfg.DATA.NUM_FRAMES = FRAMES
+    cfg.DATA.AUDIO_FREQ_BINS = CROP
+    cfg.DATA.AUDIO_WINDOW = CROP
     cfg.MVIT.PATCH_PADDING = [1, 3, 3]
     cfg.MVIT.CLS_EMBED_ON = False
     cfg.MVIT.SEP_POS_EMBED = True
