@@ -142,6 +142,8 @@ class ModelConfig:
     DROPOUT_RATE: float = 0.5
     HEAD_ACT: str = "softmax"
     ACT_CHECKPOINT: bool = False  # jax.checkpoint (rematerialization) on encoder blocks
+    # Pallas VMEM-resident attention kernel (auto-disabled off-TPU). New capability.
+    FUSED_ATTENTION: bool = True
     # custom_config.py:22 — weight on the EgoNCE term of kldiv+egonce
     LOSS_ALPHA: float = 1.0
 

@@ -95,13 +95,13 @@ def _fused_attention_fwd_impl(q, k, v, mask, scale: float, interpret: bool):
 
     with_mask = mask is not None
     in_specs = [
-        pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0)),
-        pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0)),
-        pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0)),
+        pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
     ]
     operands = [qf, kf, vf]
     if with_mask:
-        in_specs.append(pl.BlockSpec((blk_q, lk), lambda i, j: (j, 0)))
+        in_specs.append(pl.BlockSpec((blk_q, lk), lambda i, j: (j, 0), memory_space=pltpu.VMEM))
         operands.append(mask.astype(jnp.float32))
 
     def kernel(*refs):
@@ -119,7 +119,7 @@ def _fused_attention_fwd_impl(q, k, v, mask, scale: float, interpret: bool):
         kernel,
         grid=(bn, lq // blk_q),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0)),
+        out_specs=pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bn, lq, hd), q.dtype),
         interpret=interpret,
     )(*operands)

@@ -136,6 +136,7 @@ def build_spec(cfg: Config) -> CSTSSpec:
         else:
             pool_kv[i] = tuple(s + 1 if s > 1 else s for s in stride_kv[i])
 
+    fused = cfg.MODEL.FUSED_ATTENTION
     video_blocks = []
     num_heads = cfg.MVIT.NUM_HEADS
     embed_dim = cfg.MVIT.EMBED_DIM
@@ -157,6 +158,7 @@ def build_spec(cfg: Config) -> CSTSSpec:
                 kernel_kv=pool_kv[i],
                 stride_q=stride_q[i],
                 stride_kv=stride_kv[i],
+                fused=fused,
             )
         )
 
@@ -183,6 +185,7 @@ def build_spec(cfg: Config) -> CSTSSpec:
             kernel_kv=audio_kernel_kv[i],
             stride_q=audio_stride_q[i],
             stride_kv=audio_stride_kv[i],
+            fused=fused,
         )
         for i in range(4)
     )
@@ -217,6 +220,7 @@ def build_spec(cfg: Config) -> CSTSSpec:
         kernel_kv=(),
         stride_q=(),
         stride_kv=(),
+        fused=fused,
     )
     spatial_fusion = AttentionSpec(**fusion_common)
     temporal_fusion = AttentionSpec(**fusion_common)
@@ -241,6 +245,7 @@ def build_spec(cfg: Config) -> CSTSSpec:
             stride_q=dec_stride_q[i],
             stride_kv=dec_stride_kv[i],
             upsample_q=True,
+            fused=fused,
         )
         for i in range(4)
     )

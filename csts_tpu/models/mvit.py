@@ -75,6 +75,8 @@ class AttentionSpec:
     mode: str = "conv"
     # decoder blocks upsample Q with ConvTranspose3d instead of pooling
     upsample_q: bool = False
+    # dispatch the attention core to the Pallas fused kernel (TPU only)
+    fused: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -216,11 +218,20 @@ def _attention_core(
     v: jax.Array,
     scale: float,
     mask: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array]:
+    fused: bool = False,
+    need_attn: bool = False,
+) -> Tuple[jax.Array, Optional[jax.Array]]:
     """softmax(q k^T * scale [+ mask]) v with fp32 probabilities.
 
-    q: (B, N, Lq, d); k/v: (B, N, Lk, d). Returns (out (B, N, Lq, d), attn fp32).
+    q: (B, N, Lq, d); k/v: (B, N, Lk, d). Returns (out (B, N, Lq, d), attn fp32 or
+    None). When ``fused`` and the probabilities aren't needed, dispatches to the
+    Pallas VMEM-resident kernel (csts_tpu.kernels.attention).
     """
+    if fused and not need_attn:
+        from csts_tpu.kernels import attention as ka
+
+        if ka.enabled():
+            return ka.fused_attention(q, k, v, scale, mask), None
     logits = jnp.einsum(
         "bnqd,bnkd->bnqk", q, k,
         preferred_element_type=jnp.float32,
@@ -319,7 +330,9 @@ def multiscale_attention_apply(
 
     if reverse_split is not None:
         v = jnp.concatenate([v[:, :, reverse_split:], v[:, :, :reverse_split]], axis=2)
-    out, attn = _attention_core(q, k, v, spec.scale, mask)
+    out, attn = _attention_core(
+        q, k, v, spec.scale, mask, fused=spec.fused, need_attn=return_attn
+    )
     out = ops.linear_apply(p["proj"], _merge_heads(out))
     if return_attn:
         return out, q_thw, attn
