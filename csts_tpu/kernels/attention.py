@@ -84,11 +84,45 @@ def _pick_block_q(lq: int) -> int:
     return lq  # small/odd Lq: single tile
 
 
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
 def _fused_attention_fwd_impl(q, k, v, mask, scale: float, interpret: bool):
-    b, n, lq, hd = q.shape
+    b, n, lq, hd_orig = q.shape
     lk = k.shape[2]
     blk_q = _pick_block_q(lq)
     bn = b * n
+    # Mosaic requires the lane (last) dim 128-aligned; zero-pad head_dim (96 → 128 for
+    # CSTS). Zero columns contribute nothing to q·kᵀ and produce zero output columns,
+    # sliced off below.
+    hd = _round_up(hd_orig, 128)
+    if hd != hd_orig:
+        pad = [(0, 0)] * 3 + [(0, hd - hd_orig)]
+        q = jnp.pad(q, pad)
+        k = jnp.pad(k, pad)
+        v = jnp.pad(v, pad)
+
+    # Sublane alignment: pad sequence dims to 16 (covers fp32 and bf16 tiles).
+    # Padded QUERY rows produce garbage rows sliced off below; padded KEY rows must
+    # be masked out of the softmax or they would absorb probability mass.
+    lq_orig, lk_orig = lq, lk
+    lq = _round_up(lq, 16)
+    lk = _round_up(lk, 16)
+    if lq != lq_orig:
+        q = jnp.pad(q, [(0, 0), (0, 0), (0, lq - lq_orig), (0, 0)])
+        blk_q = _pick_block_q(lq)
+    if lk != lk_orig:
+        k = jnp.pad(k, [(0, 0), (0, 0), (0, lk - lk_orig), (0, 0)])
+        v = jnp.pad(v, [(0, 0), (0, 0), (0, lk - lk_orig), (0, 0)])
+        key_mask = jnp.full((1, lk), 0.0, jnp.float32).at[:, lk_orig:].set(-1e9)
+        if mask is None:
+            mask = jnp.broadcast_to(key_mask, (lq, lk))
+        else:
+            mask = jnp.pad(mask, [(0, lq - mask.shape[0]), (0, lk - mask.shape[1])]) + key_mask
+    elif mask is not None and lq != lq_orig:
+        mask = jnp.pad(mask, [(0, lq - mask.shape[0]), (0, 0)])
+
     qf = q.reshape(bn, lq, hd)
     kf = k.reshape(bn, lk, hd)
     vf = v.reshape(bn, lk, hd)
@@ -123,7 +157,7 @@ def _fused_attention_fwd_impl(q, k, v, mask, scale: float, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((bn, lq, hd), q.dtype),
         interpret=interpret,
     )(*operands)
-    return out.reshape(b, n, lq, hd)
+    return out.reshape(b, n, lq, hd)[:, :, :lq_orig, :hd_orig]
 
 
 def _composite_probs(q, k, scale, mask):

@@ -62,6 +62,9 @@ class CSTSSpec:
     nce_embed_dim: int = 256
     # compute
     dtype: str = "float32"
+    # jax.checkpoint (rematerialization) around encoder blocks — MODEL.ACT_CHECKPOINT
+    # (reference wraps blocks in fairscale checkpoint_wrapper, :154-155,178-179)
+    remat: bool = False
 
     @property
     def compute_dtype(self):
@@ -274,6 +277,7 @@ def build_spec(cfg: Config) -> CSTSSpec:
         decoder_blocks=decoder_blocks,
         use_nce="nce" in cfg.MODEL.LOSS_FUNC,
         dtype="bfloat16" if cfg.TRAIN.MIXED_PRECISION else "float32",
+        remat=cfg.MODEL.ACT_CHECKPOINT,
     )
 
 
@@ -411,20 +415,33 @@ def csts_apply(
     n_blocks = len(spec.video_blocks)
     dp_keys = jax.random.split(rng, n_blocks)
 
+    def _encoder_block(block_params, block_spec, tokens, thw_in, dp_key):
+        """One encoder block, optionally rematerialized (MODEL.ACT_CHECKPOINT)."""
+        thw_out = _thw_after_blocks(thw_in, [block_spec])
+
+        def fn(p, t, k):
+            out, _ = mvit.multiscale_block_apply(
+                p, block_spec, t, thw_in,
+                drop_path_key=k, deterministic=deterministic,
+            )
+            return out
+
+        if spec.remat:
+            fn = jax.checkpoint(fn)
+        return fn(block_params, tokens, dp_key), thw_out
+
     # Interleaved encoder groups, capturing the decoder skip features (:384-411).
     inter_feat = [(x, thw)]
     for gi, ((vs, ve), (as_, ae)) in enumerate(zip(spec.video_groups, spec.audio_groups)):
         for i in range(vs, ve):
-            x, thw = mvit.multiscale_block_apply(
-                params["blocks"][i], spec.video_blocks[i], x, thw,
-                drop_path_key=dp_keys[i], deterministic=deterministic,
+            x, thw = _encoder_block(
+                params["blocks"][i], spec.video_blocks[i], x, thw, dp_keys[i]
             )
         if gi < len(spec.video_groups) - 1:
             inter_feat.append((x, thw))
         for i in range(as_, ae):
-            y, thw_audio = mvit.multiscale_block_apply(
-                params["blocks_audio"][i], spec.audio_blocks[i], y, thw_audio,
-                deterministic=deterministic,
+            y, thw_audio = _encoder_block(
+                params["blocks_audio"][i], spec.audio_blocks[i], y, thw_audio, None
             )
 
     # ---------------- Spatial-temporal fusion (:413-462) ----------------
