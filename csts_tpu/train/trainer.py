@@ -51,6 +51,12 @@ def train(cfg: Config) -> None:
     val_meter = ValGazeMeter(len(val_loader), cfg)
     epoch_timer = EpochTimer()
 
+    writer = None
+    if cfg.TENSORBOARD.ENABLE and jax.process_index() == 0:
+        from csts_tpu.utils.tensorboard import TensorboardWriter
+
+        writer = TensorboardWriter(cfg)
+
     with jax.sharding.set_mesh(mesh):
         state = jax.device_put(state, mesh_lib.replicated(mesh))
         logger.info("Start epoch: %d", start_epoch + 1)
@@ -59,7 +65,7 @@ def train(cfg: Config) -> None:
             train_loader.set_epoch(cur_epoch)
             epoch_timer.epoch_tic()
             state = _train_epoch(
-                train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh
+                train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, writer
             )
             epoch_timer.epoch_toc()
             logger.info(
@@ -74,10 +80,12 @@ def train(cfg: Config) -> None:
             if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
                 _eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh)
 
+    if writer is not None:
+        writer.close()
     logger.info("Training finished!")
 
 
-def _train_epoch(train_loader, state, train_step, meter, cur_epoch, cfg, mesh):
+def _train_epoch(train_loader, state, train_step, meter, cur_epoch, cfg, mesh, writer=None):
     meter.iter_tic()
     data_size = len(train_loader)
     base_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.RNG_SEED), cur_epoch)
@@ -105,6 +113,15 @@ def _train_epoch(train_loader, state, train_step, meter, cur_epoch, cfg, mesh):
             f1, recall, precision, threshold, loss, lr,
             mb_size=batch["labels"].shape[0],
         )
+        if writer is not None:
+            scalars = {
+                "Train/loss": loss, "Train/lr": lr, "Train/F1": f1,
+                "Train/Recall": recall, "Train/Precision": precision,
+            }
+            if "egonce_loss" in stats:
+                scalars["Train/kldiv_loss"] = float(stats["kldiv_loss"])
+                scalars["Train/nce_loss"] = float(stats["egonce_loss"])
+            writer.add_scalars(scalars, global_step=data_size * cur_epoch + cur_iter)
         if "egonce_loss" in stats and (cur_iter + 1) % cfg.LOG_PERIOD == 0:
             logger.info(
                 "Iter %d: kld_loss %.4f, egonce_loss %.4f, loss %.4f",
