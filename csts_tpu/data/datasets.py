@@ -31,6 +31,7 @@ from typing import Dict, Optional
 
 import numpy as np
 
+from csts_tpu import native
 from csts_tpu.config import Config
 from csts_tpu.data import heatmap, sampling, transform, video
 from csts_tpu.utils.registry import Registry
@@ -212,7 +213,9 @@ class AVGazeDataset:
             audio_idx = sampling.audio_slice_indices(
                 frames_idx, frame_length, audio.shape[1], half_window
             )
-            audio_frames = sampling.slice_audio_frames(audio, audio_idx, half_window)
+            audio_frames = native.audio_slice_gather(
+                np.ascontiguousarray(audio, np.float32), audio_idx, half_window
+            )
 
             # --- label frame indices (observed for estimation, future for forecast)
             video_path = self._path_to_videos[index]
@@ -240,20 +243,20 @@ class AVGazeDataset:
             labels_global = np.clip(labels_global, 0, vlabels.shape[0] - 1)
             label = vlabels[labels_global, :].astype(np.float32)
 
-            # --- normalize + gaze-aware spatial transform
-            frames = transform.tensor_normalize(frames, self.cfg.DATA.MEAN, self.cfg.DATA.STD)
-            frames, label = transform.spatial_sampling_gaze(
+            # --- normalize + gaze-aware spatial transform (fused native fast path)
+            frames, label = transform.spatial_sampling_fused(
                 frames, label,
                 spatial_idx=params["spatial_idx"],
                 min_scale=params["min_scale"], max_scale=params["max_scale"],
                 crop_size=params["crop_size"],
                 random_horizontal_flip=self.cfg.DATA.RANDOM_FLIP,
                 rng=rng,
+                mean=self.cfg.DATA.MEAN, std=self.cfg.DATA.STD,
             )
 
             # --- label heatmaps at crop/4 (reference :318-328)
             hm_size = params["crop_size"] // 4
-            label_hm = heatmap.gaze_heatmaps(
+            label_hm = native.gaze_heatmaps(
                 label, num_frames, hm_size, hm_size, self.cfg.DATA.GAUSSIAN_KERNEL
             )
 

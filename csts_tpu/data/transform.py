@@ -119,6 +119,74 @@ def tensor_normalize(frames: np.ndarray, mean, std) -> np.ndarray:
     return (frames - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
 
 
+def _crop_offset_1d(coords: np.ndarray, span: int, size: int, rng: np.random.Generator) -> int:
+    """The gaze-constrained offset search of random_crop_gaze (transform.py:174-186)."""
+    if span <= size:
+        return 0
+    s = np.sort(coords)
+    low, high = max(0, s.max() - size), min(span - size, s.min())
+    while low > high:
+        s = s[1:] if len(s) % 2 == 0 else s[:-1]
+        low, high = max(0, s.max() - size), min(span - size, s.min())
+    return int(low) if low == high else int(rng.uniform(low, high))
+
+
+def spatial_sampling_fused(
+    frames: np.ndarray,
+    gaze_loc: np.ndarray,
+    spatial_idx: int,
+    min_scale: int,
+    max_scale: int,
+    crop_size: int,
+    random_horizontal_flip: bool,
+    rng: Optional[np.random.Generator],
+    mean,
+    std,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Fused-fast-path equivalent of normalize + :func:`spatial_sampling_gaze`.
+
+    Input ``frames`` are raw uint8 (or [0,1] float); the scale happens on [0,1]
+    floats (bilinear resize commutes with the affine normalization, so this matches
+    the reference's normalize-then-resize order), then crop + flip + (x−mean)/std run
+    as ONE native pass (csts_tpu.native). Consumes the rng in the same order as the
+    non-fused path, so augmentation choices are identical for a given seed.
+    """
+    from csts_tpu import native
+
+    assert spatial_idx in (-1, 0, 1, 2)
+    if frames.dtype == np.uint8:
+        frames = frames.astype(np.float32) / 255.0
+    if spatial_idx == -1:
+        size = int(round(rng.uniform(min_scale, max_scale)))
+        frames = short_side_scale(frames, size)
+        t, h, w, _ = frames.shape
+        gaze_x = gaze_loc[:, 0] * w
+        gaze_y = gaze_loc[:, 1] * h
+        x0 = _crop_offset_1d(gaze_x, w, crop_size, rng)
+        y0 = _crop_offset_1d(gaze_y, h, crop_size, rng)
+        flip = bool(random_horizontal_flip and rng.uniform() < 0.5)
+    else:
+        assert min_scale == max_scale
+        frames = short_side_scale(frames, min_scale)
+        t, h, w, _ = frames.shape
+        gaze_x = gaze_loc[:, 0] * w
+        gaze_y = gaze_loc[:, 1] * h
+        y0 = int(math.ceil((h - crop_size) / 2))
+        x0 = int(math.ceil((w - crop_size) / 2))
+        if h > w:
+            y0 = 0 if spatial_idx == 0 else (h - crop_size if spatial_idx == 2 else y0)
+        else:
+            x0 = 0 if spatial_idx == 0 else (w - crop_size if spatial_idx == 2 else x0)
+        flip = False
+
+    out = native.fused_crop_flip_normalize(frames, y0, x0, crop_size, flip, mean, std)
+    out_gaze = gaze_loc.copy()
+    gx = np.clip((gaze_x - x0) / crop_size, 0, 1)
+    out_gaze[:, 0] = (1 - gx) if flip else gx
+    out_gaze[:, 1] = np.clip((gaze_y - y0) / crop_size, 0, 1)
+    return out, out_gaze
+
+
 def spatial_sampling_gaze(
     frames: np.ndarray,
     gaze_loc: np.ndarray,
