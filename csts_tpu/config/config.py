@@ -197,6 +197,20 @@ class DataLoaderConfig:
 
 
 @dataclass
+class AugConfig:
+    """RandAugment/RandomErasing (reference: ``defaults.py`` AUG section; off in the
+    shipped CSTS configs)."""
+
+    ENABLE: bool = False
+    NUM_SAMPLE: int = 1
+    AA_TYPE: str = "rand-m7-n4-mstd0.5-inc1"
+    INTERPOLATION: str = "bicubic"
+    RE_PROB: float = 0.25
+    RE_MODE: str = "pixel"
+    RE_COUNT: int = 1
+
+
+@dataclass
 class TensorboardConfig:
     ENABLE: bool = False
     LOG_DIR: str = ""
@@ -214,6 +228,7 @@ class Config:
     SOLVER: SolverConfig = field(default_factory=SolverConfig)
     BN: BNConfig = field(default_factory=BNConfig)
     DATA_LOADER: DataLoaderConfig = field(default_factory=DataLoaderConfig)
+    AUG: AugConfig = field(default_factory=AugConfig)
     TENSORBOARD: TensorboardConfig = field(default_factory=TensorboardConfig)
 
     # NUM_GPUS in the reference; renamed — these are TPU chips in a jax Mesh.
@@ -253,7 +268,7 @@ class Config:
 # the PySlowFast config tree that configure models/paths never used by CSTS).
 _IGNORED_SECTIONS = {
     "RESNET", "X3D", "NONLOCAL", "SLOWFAST", "AVA", "MULTIGRID", "DETECTION",
-    "DEMO", "BENCHMARK", "AUG", "MIXUP", "MULTIGRID",
+    "DEMO", "BENCHMARK", "MIXUP",
 }
 # Key aliases: reference name -> our name.
 _KEY_ALIASES = {"NUM_GPUS": "NUM_DEVICES"}

@@ -243,6 +243,12 @@ class AVGazeDataset:
             labels_global = np.clip(labels_global, 0, vlabels.shape[0] - 1)
             label = vlabels[labels_global, :].astype(np.float32)
 
+            # --- optional RandAugment on raw frames (AUG.ENABLE; off in shipped cfgs)
+            if self.mode == "train" and self.cfg.AUG.ENABLE and frames.dtype == np.uint8:
+                from csts_tpu.data.rand_augment import rand_augment_clip
+
+                frames = rand_augment_clip(frames, self.cfg.AUG.AA_TYPE, rng)
+
             # --- normalize + gaze-aware spatial transform (fused native fast path)
             frames, label = transform.spatial_sampling_fused(
                 frames, label,
@@ -253,6 +259,14 @@ class AVGazeDataset:
                 rng=rng,
                 mean=self.cfg.DATA.MEAN, std=self.cfg.DATA.STD,
             )
+
+            if self.mode == "train" and self.cfg.AUG.ENABLE and self.cfg.AUG.RE_PROB > 0:
+                from csts_tpu.data.rand_augment import random_erasing_clip
+
+                frames = random_erasing_clip(
+                    frames, rng, prob=self.cfg.AUG.RE_PROB,
+                    max_count=self.cfg.AUG.RE_COUNT,
+                )
 
             # --- label heatmaps at crop/4 (reference :318-328)
             hm_size = params["crop_size"] // 4

@@ -1,0 +1,144 @@
+"""Training parity vs the PyTorch reference: identical weights, identical batches,
+identical optimizer settings → per-step losses must track (BASELINE config 5).
+
+The reference itself admits run-to-run training nondeterminism (README.md:183), so
+exact trace equality is not the bar; with augmentation removed and fp32 everywhere,
+per-step kldiv+egonce losses agree to ~1e-3 over several AdamW steps.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from csts_tpu.config import get_cfg
+from csts_tpu.convert.from_torch import convert_csts_state_dict
+from csts_tpu.models import csts as csts_lib
+from csts_tpu.train import losses as l_tpu
+from csts_tpu.train import step as step_lib
+
+from reference_oracle import load_reference_csts, install_stubs
+
+install_stubs()
+torch.Tensor.cuda = lambda self, *a, **k: self  # EgoNCE hard-codes .cuda()
+
+CROP = 64
+FRAMES = 8
+STEPS = 4
+LR = 1e-3
+ALPHA = 0.05
+
+
+def make_cfg():
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = CROP
+    cfg.DATA.TEST_CROP_SIZE = CROP
+    cfg.DATA.NUM_FRAMES = FRAMES
+    cfg.DATA.AUDIO_FREQ_BINS = CROP
+    cfg.DATA.AUDIO_WINDOW = CROP
+    cfg.MVIT.PATCH_KERNEL = [3, 7, 7]
+    cfg.MVIT.PATCH_STRIDE = [2, 4, 4]
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.DEPTH = 16
+    cfg.MVIT.EMBED_DIM = 96
+    cfg.MVIT.DROPPATH_RATE = 0.0  # deterministic for the comparison
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MVIT.SEP_POS_EMBED = True
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [3, 2.0], [14, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [3, 2.0], [14, 2.0]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 8, 8]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [3, 1, 2, 2], [14, 1, 2, 2]]
+    cfg.MODEL.LOSS_FUNC = "kldiv+egonce"
+    cfg.MODEL.LOSS_ALPHA = ALPHA
+    cfg.SOLVER.BASE_LR = LR
+    cfg.SOLVER.COSINE_END_LR = LR * 1e-2
+    cfg.SOLVER.WARMUP_EPOCHS = 0.0
+    cfg.SOLVER.MAX_EPOCH = 100000  # ≈ constant LR over the few compared steps
+    cfg.SOLVER.OPTIMIZING_METHOD = "adamw"
+    cfg.SOLVER.WEIGHT_DECAY = 0.05
+    cfg.SOLVER.CLIP_GRAD_L2NORM = 1.0
+    cfg.SOLVER.ZERO_WD_1D_PARAM = True
+    cfg.MVIT.ZERO_DECAY_POS_CLS = False
+    return cfg
+
+
+@pytest.mark.slow
+def test_loss_curve_parity():
+    oracle, _ = load_reference_csts(crop_size=CROP, num_frames=FRAMES, seed=3)
+    grid = CROP // 4 // 8
+    torch.manual_seed(13)
+    oracle.vision_pool = torch.nn.Conv3d(768, 768, kernel_size=(1, grid, grid), stride=1)
+    oracle.audio_pool = torch.nn.Conv3d(768, 768, kernel_size=(1, grid, grid), stride=1)
+    oracle.audio_pool2 = torch.nn.Conv3d(768, 768, kernel_size=(1, grid, grid), stride=1)
+    oracle.train()
+
+    cfg = make_cfg()
+    spec = csts_lib.build_spec(cfg)
+    params = jax.tree_util.tree_map(
+        jnp.asarray, convert_csts_state_dict(oracle.state_dict())
+    )
+
+    rng = np.random.default_rng(0)
+    b = 2
+    video = rng.standard_normal((b, 3, FRAMES, CROP, CROP)).astype(np.float32)
+    audio_in = rng.standard_normal((b, 1, FRAMES, CROP, CROP)).astype(np.float32)
+    hm = rng.uniform(0, 1, (b, FRAMES, CROP // 4, CROP // 4)).astype(np.float32)
+    hm /= hm.sum(axis=(2, 3), keepdims=True)
+
+    # ---- torch side: replicate the reference train iteration (train_avgaze_net.py:70-109)
+    from slowfast.models import losses as l_ref
+    from slowfast.utils.utils import frame_softmax as fs_ref, sim_matrix as sm_ref
+
+    zero_wd, decay = [], []
+    for name, p in oracle.named_parameters():
+        if p.ndim <= 1 or name.endswith(".bias"):
+            zero_wd.append(p)
+        else:
+            decay.append(p)
+    opt = torch.optim.AdamW(
+        [{"params": decay, "weight_decay": 0.05},
+         {"params": zero_wd, "weight_decay": 0.0}],
+        lr=LR, eps=1e-8,
+    )
+    torch_losses = []
+    vt, at, hmt = map(torch.from_numpy, (video, audio_in, hm))
+    for _ in range(STEPS):
+        preds, v_emb, a_emb = oracle([vt], at, return_embed=True)
+        preds = fs_ref(preds, temperature=2)
+        kld = l_ref.KLDiv()(preds, hmt)
+        nce = l_ref.EgoNCE()(sm_ref(v_emb, a_emb))
+        loss = kld + ALPHA * nce
+        opt.zero_grad()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(oracle.parameters(), 1.0)
+        opt.step()
+        torch_losses.append(float(loss))
+
+    # ---- jax side: the real train step (constant LR over these steps)
+    state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
+    state = step_lib.TrainState(params, tx.init(params), state.step)
+    train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch=10)
+    batch = {
+        "video": jnp.asarray(video.transpose(0, 2, 3, 4, 1)),
+        "audio": jnp.asarray(audio_in.transpose(0, 2, 3, 4, 1)),
+        "labels_hm": jnp.asarray(hm),
+        "labels": jnp.zeros((b, FRAMES, 3), jnp.float32),
+    }
+    jax_losses = []
+    st = state
+    for i in range(STEPS):
+        st, stats, _ = train_step(st, batch, jax.random.PRNGKey(i))
+        jax_losses.append(float(stats["loss"]))
+
+    print("torch:", torch_losses)
+    print("jax:  ", jax_losses)
+    # step-0 loss is pure forward parity; later steps compound optimizer numerics
+    assert abs(torch_losses[0] - jax_losses[0]) < 2e-4, (torch_losses, jax_losses)
+    for i in range(1, STEPS):
+        assert abs(torch_losses[i] - jax_losses[i]) < 5e-3, (i, torch_losses, jax_losses)
+    # and training must actually descend on both sides
+    assert jax_losses[-1] < jax_losses[0]
+    assert torch_losses[-1] < torch_losses[0]
