@@ -129,7 +129,42 @@ class AVGazeDataset:
                 rows = [list(map(float, row)) for i, row in enumerate(csv.reader(f)) if i > 0]
             self._labels[video_name] = np.asarray(rows)[:, self.variant.label_col_offset:]
 
+        # Per-frame sliding-window eval (TEST.FULL_FRAME_TEST): every frame of every
+        # clip becomes the anchor of one 8-frame window at stride SAMPLING_RATE+1.
+        # The reference sketches this for the estimation datasets but its config key
+        # was never defined (ego4d_avgaze.py:118-131 — latent AttributeError); this
+        # is the working version.
+        self._full_frame_inputs = []
+        if (
+            self.cfg.TEST.FULL_FRAME_TEST
+            and not self.variant.forecast
+            and self.mode in ("val", "test")
+        ):
+            stride = self.cfg.DATA.SAMPLING_RATE + 1
+            nf = self.cfg.DATA.NUM_FRAMES
+            for path in dict.fromkeys(self._path_to_videos):  # unique, ordered
+                frames_length = self._probe_num_frames(path)
+                start_idx = 0
+                while start_idx < frames_length:
+                    last = start_idx
+                    for i in range(start_idx, min(start_idx + stride, frames_length)):
+                        idx = [min(i + j * stride, frames_length - 1) for j in range(nf)]
+                        self._full_frame_inputs.append((path, np.asarray(idx)))
+                        last = idx[-1]
+                    start_idx = last + 1
+
+    def _probe_num_frames(self, path: str) -> int:
+        reader = video.open_clip(path, self.cfg.DATA.DECODING_BACKEND
+                                 if self.cfg.DATA.DECODING_BACKEND != "pyav"
+                                 or "pyav" in video.available_backends() else "auto",
+                                 target_fps=self.cfg.DATA.TARGET_FPS)
+        n = reader.meta().num_frames
+        reader.close()
+        return n
+
     def __len__(self):
+        if self._full_frame_inputs:
+            return len(self._full_frame_inputs)
         return len(self._path_to_videos)
 
     num_videos = property(__len__)
@@ -159,6 +194,8 @@ class AVGazeDataset:
     def __getitem__(self, index: int, rng: Optional[np.random.Generator] = None):
         if rng is None:
             rng = np.random.default_rng()
+        if self._full_frame_inputs:
+            return self._getitem_full_frame(index, rng)
         params = self._sampling_params(index, rng)
         num_frames = self.cfg.DATA.NUM_FRAMES
         sampling_rate = self.cfg.DATA.SAMPLING_RATE
@@ -287,6 +324,62 @@ class AVGazeDataset:
                 },
             }
         raise RuntimeError(f"Failed to fetch video after {self._num_retries} retries.")
+
+    def _getitem_full_frame(self, index: int, rng: np.random.Generator):
+        """Sliding-window item (ego4d_avgaze.py:278-332 semantics, working version)."""
+        video_path, frames_idx = self._full_frame_inputs[index]
+        reader = video.open_clip(
+            video_path, self.cfg.DATA.DECODING_BACKEND
+            if self.cfg.DATA.DECODING_BACKEND != "pyav"
+            or "pyav" in video.available_backends() else "auto",
+            target_fps=self.cfg.DATA.TARGET_FPS,
+        )
+        meta = reader.meta()
+        frame_length = meta.num_frames
+        window, idx_win = reader.read_window(int(frames_idx.min()), int(frames_idx.max()))
+        reader.close()
+        pos = np.searchsorted(idx_win, frames_idx)
+        frames = window[np.clip(pos, 0, len(idx_win) - 1)]
+
+        audio = np.load(self._path_to_audios_for(video_path))
+        audio = audio[: self.cfg.DATA.AUDIO_FREQ_BINS]
+        half_window = self.cfg.DATA.AUDIO_WINDOW // 2
+        audio_idx = sampling.audio_slice_indices(frames_idx, frame_length, audio.shape[1], half_window)
+        audio_frames = native.audio_slice_gather(
+            np.ascontiguousarray(audio, np.float32), audio_idx, half_window
+        )
+
+        video_name, clip_name = video_path.split("/")[-2:]
+        tstart = int(clip_name[:-4].split("_")[-2][1:])
+        clip_fstart = tstart * self.cfg.DATA.TARGET_FPS
+        frames_global_idx = frames_idx + clip_fstart
+        vlabels = self._labels[video_name]
+        labels_global = np.clip(frames_global_idx, 0, vlabels.shape[0] - 1)
+        label = vlabels[labels_global, :].astype(np.float32)
+
+        size = self.cfg.DATA.TEST_CROP_SIZE
+        frames, label = transform.spatial_sampling_fused(
+            frames, label, spatial_idx=1, min_scale=size, max_scale=size,
+            crop_size=size, random_horizontal_flip=False, rng=rng,
+            mean=self.cfg.DATA.MEAN, std=self.cfg.DATA.STD,
+        )
+        hm_size = size // 4
+        label_hm = native.gaze_heatmaps(
+            label, self.cfg.DATA.NUM_FRAMES, hm_size, hm_size, self.cfg.DATA.GAUSSIAN_KERNEL
+        )
+        return {
+            "video": frames.astype(np.float32),
+            "audio": audio_frames.astype(np.float32)[..., None],
+            "labels": label,
+            "labels_hm": label_hm,
+            "index": index,
+            "meta": {"path": video_path, "index": frames_global_idx,
+                     "labels_index": labels_global},
+        }
+
+    def _path_to_audios_for(self, video_path: str) -> str:
+        src, dst = self.variant.audio_rule
+        return video_path.replace(src, dst).replace(".mp4", ".npy")
 
 
 def _register(name):

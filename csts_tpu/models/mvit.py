@@ -232,10 +232,14 @@ def _attention_core(
 
         if ka.enabled():
             return ka.fused_attention(q, k, v, scale, mask), None
+    prec = (
+        jax.lax.Precision.DEFAULT if q.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     logits = jnp.einsum(
         "bnqd,bnkd->bnqk", q, k,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     )
     logits = logits * scale
     if mask is not None:
@@ -244,7 +248,7 @@ def _attention_core(
     out = jnp.einsum(
         "bnqk,bnkd->bnqd", attn.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
     ).astype(v.dtype)
     return out, attn
 

@@ -33,13 +33,19 @@ def linear_init(
 
 
 def linear_apply(params: dict, x: jax.Array) -> jax.Array:
-    # fp32 accumulation on the MXU regardless of activation dtype; HIGHEST precision so
-    # fp32 inputs don't silently drop to bf16 passes on TPU.
+    # fp32 accumulation on the MXU regardless of activation dtype. fp32 inputs use
+    # HIGHEST so they don't silently drop to bf16 passes; bf16 inputs use DEFAULT
+    # (bf16 multiplies + fp32 accumulate — HIGHEST would emulate fp32 multi-pass).
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if x.dtype == jnp.bfloat16
+        else jax.lax.Precision.HIGHEST
+    )
     out = jnp.dot(
         x,
         params["w"].astype(x.dtype),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=precision,
     ).astype(x.dtype)
     if "b" in params:
         out = out + params["b"].astype(x.dtype)

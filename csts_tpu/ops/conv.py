@@ -30,9 +30,11 @@ from jax import lax
 _DIMSPEC = ("NDHWC", "DHWIO", "NDHWC")
 
 # fp32 inputs use full-precision convs (TPU's DEFAULT would silently drop to bf16
-# passes — a 3e-3 error against the torch goldens). bf16 speed is opted into by
-# feeding bf16 activations, not by lowering fp32 precision.
-_PRECISION = lax.Precision.HIGHEST
+# passes — a 3e-3 error against the torch goldens). bf16 activations already multiply
+# in bf16 with fp32 accumulation, where HIGHEST would force a slow multi-pass fp32
+# emulation — so pick per dtype.
+def _precision(dtype):
+    return lax.Precision.DEFAULT if dtype == jnp.bfloat16 else lax.Precision.HIGHEST
 
 
 def conv3d_init(
@@ -76,7 +78,7 @@ def conv3d(
         padding=pad,
         dimension_numbers=_DIMSPEC,
         feature_group_count=groups,
-        precision=_PRECISION,
+        precision=_precision(x.dtype),
     )
     if "b" in params:
         out = out + params["b"].astype(x.dtype)
@@ -105,7 +107,7 @@ def depthwise_conv3d(
         padding=pad,
         dimension_numbers=_DIMSPEC,
         feature_group_count=c,
-        precision=_PRECISION,
+        precision=_precision(x.dtype),
     )
 
 
@@ -142,7 +144,7 @@ def depthwise_conv_transpose3d(
         lhs_dilation=tuple(int(s) for s in stride),
         dimension_numbers=_DIMSPEC,
         feature_group_count=c,
-        precision=_PRECISION,
+        precision=_precision(x.dtype),
     )
 
 

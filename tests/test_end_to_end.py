@@ -209,3 +209,23 @@ def test_auto_resume(synthetic_root, tmp_path):
         np.asarray(restored.params["classifier"]["w"]),
         np.asarray(host.params["classifier"]["w"]),
     )
+
+
+def test_full_frame_sliding_window(synthetic_root, tmp_path):
+    from csts_tpu.data.datasets import build_dataset
+
+    cfg = make_e2e_cfg(synthetic_root, str(tmp_path))
+    cfg.TEST.FULL_FRAME_TEST = True
+    ds = build_dataset("ego4d_av_gaze", cfg, "test")
+    # windows tile the clip: every frame of every clip appears in exactly one window
+    per_clip = [idx for (p, idx) in ds._full_frame_inputs if p == ds._full_frame_inputs[0][0]]
+    covered = sorted(int(i) for idx in per_clip for i in idx)
+    # full coverage (the tail windows clamp to the last frame, so duplicates only there)
+    assert set(covered) == set(range(FRAMES_PER_CLIP))
+    sample = ds.__getitem__(0, rng=np.random.default_rng(0))
+    assert sample["video"].shape == (8, CROP, CROP, 3)
+    stride = cfg.DATA.SAMPLING_RATE + 1
+    np.testing.assert_array_equal(
+        sample["meta"]["index"],
+        np.minimum(np.arange(8) * stride, FRAMES_PER_CLIP - 1),
+    )
