@@ -34,6 +34,13 @@ def test(cfg: Config) -> dict:
     mesh = mesh_lib.make_mesh(num_devices=cfg.NUM_DEVICES if cfg.NUM_DEVICES > 0 else None)
     params = csts_lib.csts_init(jax.random.PRNGKey(cfg.RNG_SEED), spec)
     params = cu.load_test_checkpoint(cfg, params)
+    if cfg.TRAIN.MIXED_PRECISION:
+        # cast weights once instead of per-op inside the step
+        import jax.numpy as jnp
+
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+        )
 
     test_loader = loader_lib.construct_loader(cfg, "test")
     assert len(test_loader.dataset) % (

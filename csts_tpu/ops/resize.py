@@ -18,6 +18,9 @@ def trilinear_resize(x: jax.Array, size_thw: Sequence[int]) -> jax.Array:
     """``x``: (B, T, H, W, C) -> (B, *size_thw, C)."""
     b, _, _, _, c = x.shape
     out_shape = (b, int(size_thw[0]), int(size_thw[1]), int(size_thw[2]), c)
-    # fp32 interpolation for parity; cast back to input dtype.
+    if x.dtype == jnp.bfloat16:
+        # memory-bound op: stay in bf16 (the bf16 path trades exactness for traffic)
+        return jax.image.resize(x, out_shape, method="linear")
+    # fp32 interpolation for parity with torch F.interpolate
     y = jax.image.resize(x.astype(jnp.float32), out_shape, method="linear")
     return y.astype(x.dtype)

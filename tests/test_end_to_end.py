@@ -229,3 +229,22 @@ def test_full_frame_sliding_window(synthetic_root, tmp_path):
         sample["meta"]["index"],
         np.minimum(np.arange(8) * stride, FRAMES_PER_CLIP - 1),
     )
+
+
+def test_serving_predictor(synthetic_root, tmp_path):
+    from csts_tpu.serving import GazePredictor
+
+    cfg = make_e2e_cfg(synthetic_root, str(tmp_path))
+    predictor = GazePredictor.from_checkpoint(cfg, None, batch_sizes=(2,))
+    rng = np.random.default_rng(0)
+    video = rng.standard_normal((1, 8, CROP, CROP, 3)).astype(np.float32)
+    audio = rng.standard_normal((1, 8, 32, 32, 1)).astype(np.float32)
+    out = predictor.predict(video, audio)
+    assert out["heatmaps"].shape == (1, 8, CROP // 4, CROP // 4)
+    np.testing.assert_allclose(out["heatmaps"].reshape(1, 8, -1).sum(-1), 1.0, atol=1e-4)
+    assert out["gaze_xy"].shape == (1, 8, 2)
+    assert (out["gaze_xy"] >= 0).all() and (out["gaze_xy"] <= 1).all()
+    # raw uint8 preprocessing path
+    frames_u8 = rng.integers(0, 255, (8, 40, 56, 3), dtype=np.uint8)
+    prepped = predictor.preprocess_frames(frames_u8)
+    assert prepped.shape == (8, CROP, CROP, 3)
