@@ -93,10 +93,13 @@ def _block(sd: Mapping, prefix: str, upsample: bool = False) -> dict:
 def convert_csts_state_dict(sd: Mapping, num_video_blocks: int = 16, num_audio_blocks: int = 4) -> Dict:
     """Full CSTS state-dict -> csts_tpu param tree (numpy leaves)."""
     sd = {k[len("module."):] if k.startswith("module.") else k: v for k, v in sd.items()}
-    p: Dict = {
-        "patch_embed": _conv(sd, "patch_embed.proj"),
-        "patch_embed_audio": _conv(sd, "patch_embed_audio.proj"),
-    }
+    p: Dict = {}
+    # components are converted only when present — partial checkpoints (e.g. the
+    # audio-branch-only merge, video-only K400 pretrain) are valid inputs
+    if "patch_embed.proj.weight" in sd:
+        p["patch_embed"] = _conv(sd, "patch_embed.proj")
+    if "patch_embed_audio.proj.weight" in sd:
+        p["patch_embed_audio"] = _conv(sd, "patch_embed_audio.proj")
     for name in (
         "pos_embed_spatial",
         "pos_embed_temporal",
@@ -109,20 +112,27 @@ def convert_csts_state_dict(sd: Mapping, num_video_blocks: int = 16, num_audio_b
         p["pos_embed"] = _np(sd["pos_embed"]).copy()
         p["pos_embed_audio"] = _np(sd["pos_embed_audio"]).copy()
 
-    p["blocks"] = [_block(sd, f"blocks.{i}") for i in range(num_video_blocks)]
-    p["blocks_audio"] = [_block(sd, f"blocks_audio.{i}") for i in range(num_audio_blocks)]
+    if num_video_blocks > 0:
+        p["blocks"] = [_block(sd, f"blocks.{i}") for i in range(num_video_blocks)]
+    if num_audio_blocks > 0:
+        p["blocks_audio"] = [_block(sd, f"blocks_audio.{i}") for i in range(num_audio_blocks)]
 
     for name in ("vision_proj", "audio_proj"):
         if f"{name}.weight" in sd:
             p[name] = _linear(sd, name)
     for name in ("vision_pool", "audio_pool", "audio_pool2"):
-        p[name] = _conv(sd, name)
+        if f"{name}.weight" in sd:
+            p[name] = _conv(sd, name)
 
-    p["temporal_fusion"] = _block(sd, "temporal_fusion")
-    p["spatial_fusion"] = _block(sd, "spatial_fusion")
+    if "temporal_fusion.norm1.weight" in sd:
+        p["temporal_fusion"] = _block(sd, "temporal_fusion")
+    if "spatial_fusion.norm1.weight" in sd:
+        p["spatial_fusion"] = _block(sd, "spatial_fusion")
     for i in range(1, 5):
-        p[f"decode_block{i}"] = _block(sd, f"decode_block{i}", upsample=True)
-    p["classifier"] = _conv(sd, "classifier")
+        if f"decode_block{i}.norm1.weight" in sd:
+            p[f"decode_block{i}"] = _block(sd, f"decode_block{i}", upsample=True)
+    if "classifier.weight" in sd:
+        p["classifier"] = _conv(sd, "classifier")
     return p
 
 

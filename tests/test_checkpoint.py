@@ -1,0 +1,141 @@
+"""Checkpoint subsystem tests: .pyth ingestion, pos-embed interpolation, partial load."""
+
+import os
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from csts_tpu.config import get_cfg
+from csts_tpu.convert.from_torch import interpolate_pos_embed
+from csts_tpu.models import csts as csts_lib
+from csts_tpu.utils import checkpoint as cu
+
+from reference_oracle import load_reference_csts
+
+CROP = 64
+
+
+def tiny_cfg():
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = CROP
+    cfg.DATA.TEST_CROP_SIZE = CROP
+    cfg.DATA.AUDIO_FREQ_BINS = CROP
+    cfg.DATA.AUDIO_WINDOW = CROP
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MVIT.SEP_POS_EMBED = True
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [3, 2.0], [14, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [3, 2.0], [14, 2.0]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 8, 8]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [3, 1, 2, 2], [14, 1, 2, 2]]
+    cfg.MODEL.LOSS_FUNC = "kldiv+egonce"
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def pyth_checkpoint(tmp_path_factory):
+    """A reference-format .pyth file from the torch oracle."""
+    oracle, _ = load_reference_csts(crop_size=CROP, num_frames=8, seed=5)
+    grid = CROP // 4 // 8
+    torch.manual_seed(5)
+    oracle.vision_pool = torch.nn.Conv3d(768, 768, (1, grid, grid))
+    oracle.audio_pool = torch.nn.Conv3d(768, 768, (1, grid, grid))
+    oracle.audio_pool2 = torch.nn.Conv3d(768, 768, (1, grid, grid))
+    path = tmp_path_factory.mktemp("ckpt") / "model.pyth"
+    torch.save({"epoch": 3, "model_state": oracle.state_dict()}, str(path))
+    return str(path), oracle
+
+
+def test_load_torch_weights_full(pyth_checkpoint):
+    path, oracle = pyth_checkpoint
+    cfg = tiny_cfg()
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+    loaded = cu.load_torch_weights(path, params)
+    # spot-check exact weight transfer (qkv transpose)
+    ref = oracle.state_dict()["blocks.3.attn.qkv.weight"].numpy().T
+    np.testing.assert_allclose(np.asarray(loaded["blocks"][3]["attn"]["qkv"]["w"]), ref)
+    ref_pe = oracle.state_dict()["pos_embed_spatial"].numpy()
+    np.testing.assert_allclose(np.asarray(loaded["pos_embed_spatial"]), ref_pe)
+
+
+def test_load_torch_weights_interpolates_pos_embed(pyth_checkpoint):
+    """Loading 64²-trained weights into a 128² model interpolates pos embeds and
+    skips the shape-mismatched fusion pools (checkpoint.py:146-182,327-335)."""
+    path, _ = pyth_checkpoint
+    cfg = tiny_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 128
+    cfg.DATA.TEST_CROP_SIZE = 128
+    cfg.DATA.AUDIO_FREQ_BINS = 128
+    cfg.DATA.AUDIO_WINDOW = 128
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+    before = np.asarray(params["vision_pool"]["w"]).copy()
+    loaded = cu.load_torch_weights(path, params)
+    # pos embed token count: 32*32 = 1024 at 128² vs 16*16 = 256 in the checkpoint
+    assert np.asarray(loaded["pos_embed_spatial"]).shape[1] == 1024
+    # mismatched conv kept its init
+    np.testing.assert_array_equal(np.asarray(loaded["vision_pool"]["w"]), before)
+    # matched weights transferred
+    assert not np.allclose(
+        np.asarray(loaded["blocks"][0]["attn"]["qkv"]["w"]),
+        np.asarray(params["blocks"][0]["attn"]["qkv"]["w"]),
+    )
+
+
+def test_interpolate_pos_embed_matches_torch():
+    pe = np.random.default_rng(0).standard_normal((1, 16, 8)).astype(np.float32)
+    ref = (
+        torch.nn.functional.interpolate(
+            torch.from_numpy(pe).permute(0, 2, 1), size=36, mode="linear"
+        )
+        .permute(0, 2, 1)
+        .numpy()
+    )
+    ours = interpolate_pos_embed(pe, 36)
+    np.testing.assert_allclose(ours, ref, atol=5e-6)
+
+
+def test_audio_branch_checkpoint_merge(pyth_checkpoint, tmp_path):
+    """TRAIN.AUDIO_CHECKPOINT_FILE_PATH merges a plain-MViT checkpoint into the
+    audio branch (checkpoint.py:357-474)."""
+    path, oracle = pyth_checkpoint
+    # build a fake audio-pretrain checkpoint: a plain MViT state dict (blocks.*)
+    sd = {
+        k[len("blocks_audio."):] if False else k: v
+        for k, v in oracle.state_dict().items()
+    }
+    audio_sd = {}
+    for k, v in sd.items():
+        if k.startswith("blocks_audio."):
+            audio_sd["blocks." + k[len("blocks_audio."):]] = v + 1.0  # distinguishable
+        elif k.startswith("patch_embed_audio."):
+            audio_sd["patch_embed." + k[len("patch_embed_audio."):]] = v + 1.0
+    audio_path = str(tmp_path / "audio.pyth")
+    torch.save({"model_state": audio_sd}, audio_path)
+
+    cfg = tiny_cfg()
+    cfg.TRAIN.CHECKPOINT_FILE_PATH = path
+    cfg.TRAIN.AUDIO_CHECKPOINT_FILE_PATH = audio_path
+    cfg.TRAIN.AUTO_RESUME = False
+    cfg.OUTPUT_DIR = str(tmp_path)
+    spec = csts_lib.build_spec(cfg)
+    from csts_tpu.train import step as step_lib
+
+    state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
+    state, start = cu.load_train_checkpoint(cfg, state)
+    assert start == 0
+    # audio branch came from the audio checkpoint (offset +1), video from the main one
+    ref_audio = sd["blocks_audio.1.attn.qkv.weight"].numpy().T + 1.0
+    np.testing.assert_allclose(
+        np.asarray(state.params["blocks_audio"][1]["attn"]["qkv"]["w"]), ref_audio
+    )
+    ref_video = sd["blocks.1.attn.qkv.weight"].numpy().T
+    np.testing.assert_allclose(
+        np.asarray(state.params["blocks"][1]["attn"]["qkv"]["w"]), ref_video
+    )
