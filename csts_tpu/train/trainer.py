@@ -9,6 +9,8 @@ checkpoint cadence, validation cadence. All device work happens inside
 from __future__ import annotations
 
 import pprint
+import signal
+import threading
 
 import numpy as np
 
@@ -26,6 +28,22 @@ from csts_tpu.utils import checkpoint as cu
 from csts_tpu.utils.logging import get_logger, setup_logging
 
 logger = get_logger(__name__)
+
+# Preemption handling (beyond the reference, whose only elasticity is start-over
+# auto-resume — SURVEY §5): SIGTERM/SIGINT set a flag; the epoch loop checkpoints at
+# the next epoch boundary and exits cleanly, so a preempted job resumes losslessly.
+_PREEMPTED = threading.Event()
+
+
+def _install_preemption_handler() -> None:
+    def handler(signum, frame):
+        logger.info("Received signal %s — will checkpoint and exit.", signum)
+        _PREEMPTED.set()
+
+    try:
+        signal.signal(signal.SIGTERM, handler)
+    except (ValueError, OSError):  # non-main thread / restricted env
+        pass
 
 
 def train(cfg: Config) -> None:
@@ -57,11 +75,17 @@ def train(cfg: Config) -> None:
 
         writer = TensorboardWriter(cfg)
 
+    _install_preemption_handler()
     with jax.sharding.set_mesh(mesh):
         state = jax.device_put(state, mesh_lib.replicated(mesh))
         logger.info("Start epoch: %d", start_epoch + 1)
 
         for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
+            if _PREEMPTED.is_set():
+                host_state = jax.tree_util.tree_map(np.asarray, state)
+                cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch - 1, cfg)
+                logger.info("Preemption checkpoint saved; exiting.")
+                return
             train_loader.set_epoch(cur_epoch)
             epoch_timer.epoch_tic()
             state = _train_epoch(

@@ -62,6 +62,26 @@ def is_eval_epoch(cfg, cur_epoch: int) -> bool:
     return (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0
 
 
+class profile_trace:
+    """Context manager around ``jax.profiler`` traces — the TPU replacement for the
+    reference's fvcore timers + nvidia-smi shellouts (SURVEY §5 tracing row).
+
+        with profile_trace("/tmp/trace"):
+            train_step(...)
+    View with TensorBoard's profile plugin or xprof."""
+
+    def __init__(self, logdir: str):
+        self.logdir = logdir
+
+    def __enter__(self):
+        jax.profiler.start_trace(self.logdir)
+        return self
+
+    def __exit__(self, *exc):
+        jax.profiler.stop_trace()
+        return False
+
+
 def benchmark_data_loading(cfg, num_batches: int = 20) -> Dict[str, float]:
     """Loader-only throughput (benchmark.py:20-103): batches/sec and clips/sec of
     the host input pipeline, no device work."""
