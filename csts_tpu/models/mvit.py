@@ -77,6 +77,9 @@ class AttentionSpec:
     upsample_q: bool = False
     # dispatch the attention core to the Pallas fused kernel (TPU only)
     fused: bool = False
+    # leading cls token excluded from spatial pooling (attention.py:24-27 split);
+    # off for CSTS (CLS_EMBED_ON False), on for the classification MViT family
+    has_cls: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -152,18 +155,28 @@ def pool_heads_conv(
     thw: THW,
     stride: Sequence[int],
     padding: Sequence[int],
+    has_cls: bool = False,
 ) -> Tuple[jax.Array, THW]:
     """Depthwise-conv pooling of per-head tokens (attention_pool, attention.py:11-49).
 
     ``x``: (B, N_heads, L, head_dim); ``w``: (kT,kH,kW,1,head_dim) shared across heads.
+    With ``has_cls`` the leading token bypasses the pool and is re-prepended before
+    the norm (attention.py:24-43).
     """
     num_heads = x.shape[1]
+    cls_tok = None
+    if has_cls:
+        cls_tok, x = x[:, :, :1], x[:, :, 1:]
     grid = _heads_to_grid(x, thw)
     w_tiled = jnp.tile(w, (1, 1, 1, 1, num_heads)) if num_heads > 1 else w
     pooled = ops.depthwise_conv3d(w_tiled, grid, stride, padding)
     out, thw_new = _grid_to_heads(pooled, num_heads)
+    if cls_tok is not None:
+        out = jnp.concatenate([cls_tok, out], axis=2)
     if norm is not None:
-        out = ops.layer_norm(norm, out)
+        # the reference hard-codes nn.LayerNorm (torch-default eps 1e-5) for the
+        # q/k/v pool norms (attention.py:206), unlike the 1e-6 block norms
+        out = ops.layer_norm(norm, out, eps=1e-5)
     return out, thw_new
 
 
@@ -183,18 +196,26 @@ def upsample_heads_conv(
     up = ops.depthwise_conv_transpose3d(w_tiled, grid, stride, padding, output_padding)
     out, thw_new = _grid_to_heads(up, num_heads)
     if norm is not None:
-        out = ops.layer_norm(norm, out)
+        out = ops.layer_norm(norm, out, eps=1e-5)  # torch-default eps (see pool note)
     return out, thw_new
 
 
-def pool_tokens_max(x: jax.Array, thw: THW, kernel, stride, padding) -> Tuple[jax.Array, THW]:
+def pool_tokens_max(
+    x: jax.Array, thw: THW, kernel, stride, padding, has_cls: bool = False
+) -> Tuple[jax.Array, THW]:
     """MaxPool3d on (B, L, C) tokens — the residual skip path (attention.py:234-241)."""
+    cls_tok = None
+    if has_cls:
+        cls_tok, x = x[:, :1], x[:, 1:]
     b, l, c = x.shape
     t, h, w = thw
     grid = x.reshape(b, t, h, w, c)
     pooled = ops.max_pool3d(grid, kernel, stride, padding)
     t2, h2, w2 = pooled.shape[1:4]
-    return pooled.reshape(b, t2 * h2 * w2, c), (t2, h2, w2)
+    out = pooled.reshape(b, t2 * h2 * w2, c)
+    if cls_tok is not None:
+        out = jnp.concatenate([cls_tok, out], axis=1)
+    return out, (t2, h2, w2)
 
 
 def upsample_tokens_trilinear(x: jax.Array, thw: THW, stride: Sequence[int]) -> Tuple[jax.Array, THW]:
@@ -327,10 +348,19 @@ def multiscale_attention_apply(
                 spec.stride_q, spec.padding_q, spec.output_padding_q,
             )
     elif "pool_q" in p:
-        q, q_thw = pool_heads_conv(q, p["pool_q"], p.get("norm_q"), thw, spec.stride_q, spec.padding_q)
+        q, q_thw = pool_heads_conv(
+            q, p["pool_q"], p.get("norm_q"), thw, spec.stride_q, spec.padding_q,
+            has_cls=spec.has_cls,
+        )
     if "pool_k" in p:
-        k, _ = pool_heads_conv(k, p["pool_k"], p.get("norm_k"), thw, spec.stride_kv, spec.padding_kv)
-        v, _ = pool_heads_conv(v, p["pool_v"], p.get("norm_v"), thw, spec.stride_kv, spec.padding_kv)
+        k, _ = pool_heads_conv(
+            k, p["pool_k"], p.get("norm_k"), thw, spec.stride_kv, spec.padding_kv,
+            has_cls=spec.has_cls,
+        )
+        v, _ = pool_heads_conv(
+            v, p["pool_v"], p.get("norm_v"), thw, spec.stride_kv, spec.padding_kv,
+            has_cls=spec.has_cls,
+        )
 
     if reverse_split is not None:
         v = jnp.concatenate([v[:, :, reverse_split:], v[:, :, :reverse_split]], axis=2)
@@ -401,7 +431,9 @@ def multiscale_block_apply(
     else:
         if spec.skip_pool_on:
             pad = tuple(int(k // 2) for k in spec.skip_kernel)
-            x_res, _ = pool_tokens_max(x, thw, spec.skip_kernel, spec.stride_q, pad)
+            x_res, _ = pool_tokens_max(
+                x, thw, spec.skip_kernel, spec.stride_q, pad, has_cls=spec.has_cls
+            )
         else:
             x_res = x
 

@@ -1,0 +1,98 @@
+"""cls-token block parity (vs the reference MultiScaleBlock with has_cls_embed=True)
+and MViT classifier model sanity."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from csts_tpu.config import get_cfg
+from csts_tpu.convert.from_torch import convert_csts_state_dict
+from csts_tpu.models import mvit
+from csts_tpu.models.build import build_model
+from csts_tpu.models.mvit import AttentionSpec
+
+from reference_oracle import load_reference_blocks
+
+
+def test_cls_block_parity(rng):
+    """One MultiScaleBlock with cls token, q-pool and kv-pool, vs torch."""
+    MultiScaleBlock, _, _, _ = load_reference_blocks()
+    torch.manual_seed(0)
+    dim, dim_out, heads = 96, 192, 2
+    blk = MultiScaleBlock(
+        dim=dim, dim_out=dim_out, num_heads=heads, mlp_ratio=4.0, qkv_bias=True,
+        drop_path=0.0, norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6),
+        kernel_q=[3, 3, 3], kernel_kv=[3, 3, 3],
+        stride_q=[1, 2, 2], stride_kv=[1, 4, 4],
+        mode="conv", has_cls_embed=True,
+    )
+    blk.eval()
+
+    thw = (2, 8, 8)
+    L = 1 + 2 * 8 * 8
+    x = rng.standard_normal((2, L, dim)).astype(np.float32)
+    with torch.no_grad():
+        ref, ref_thw = blk(torch.from_numpy(x), list(thw))
+
+    spec = AttentionSpec(
+        dim=dim, dim_out=dim_out, num_heads=heads,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
+        stride_q=(1, 2, 2), stride_kv=(1, 4, 4),
+        has_cls=True,
+    )
+    # convert the block's weights through the standard converter path
+    sd = {f"blocks.0.{k}": v for k, v in blk.state_dict().items()}
+    params = convert_csts_state_dict(sd, num_video_blocks=1, num_audio_blocks=0)["blocks"][0]
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    out, out_thw = mvit.multiscale_block_apply(params, spec, jnp.asarray(x), thw)
+
+    assert tuple(out_thw) == tuple(ref_thw)
+    assert out.shape == tuple(ref.shape)
+    np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=2e-5)
+
+
+@pytest.fixture(scope="module")
+def mvit_cfg():
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.NUM_FRAMES = 8
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.CLS_EMBED_ON = True
+    cfg.MVIT.SEP_POS_EMBED = True
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 8, 8]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [2, 1, 2, 2], [3, 1, 2, 2]]
+    cfg.MODEL.MODEL_NAME = "MVIT"
+    cfg.MODEL.NUM_CLASSES = 11
+    return cfg
+
+
+def test_mvit_classifier_forward(mvit_cfg, rng):
+    spec, init_fn, apply_fn = build_model(mvit_cfg)
+    params = init_fn(jax.random.PRNGKey(0))
+    video = jnp.asarray(rng.standard_normal((2, 8, 32, 32, 3)), jnp.float32)
+    logits = apply_fn(params, video)
+    assert logits.shape == (2, 11)
+    assert np.isfinite(np.asarray(logits)).all()
+    # train mode with dropout is stochastic but finite
+    out_train = apply_fn(params, video, deterministic=False, rng=jax.random.PRNGKey(1))
+    assert np.isfinite(np.asarray(out_train)).all()
+
+
+def test_mvit_classifier_no_cls(mvit_cfg, rng):
+    import copy
+
+    cfg = copy.deepcopy(mvit_cfg)
+    cfg.MVIT.CLS_EMBED_ON = False
+    spec, init_fn, apply_fn = build_model(cfg)
+    params = init_fn(jax.random.PRNGKey(0))
+    logits = apply_fn(params, jnp.asarray(rng.standard_normal((1, 8, 32, 32, 3)), jnp.float32))
+    assert logits.shape == (1, 11)
