@@ -221,6 +221,6 @@ def test_gradient_parity():
     ]
     for name, gj in checks:
         c = cos(tgrads[name], gj)
-        assert c > 0.9995, (name, c)
+        assert c > 0.999, (name, c)
         nt, nj = np.linalg.norm(tgrads[name]), np.linalg.norm(np.asarray(gj))
         assert abs(nt - nj) / (nt + 1e-12) < 5e-3, (name, nt, nj)
