@@ -96,3 +96,19 @@ def test_mvit_classifier_no_cls(mvit_cfg, rng):
     params = init_fn(jax.random.PRNGKey(0))
     logits = apply_fn(params, jnp.asarray(rng.standard_normal((1, 8, 32, 32, 3)), jnp.float32))
     assert logits.shape == (1, 11)
+
+
+def test_classification_metrics(rng):
+    from csts_tpu.eval.class_metrics import confusion_matrix, topk_accuracies
+
+    preds = np.zeros((6, 4), np.float32)
+    labels = np.array([0, 1, 2, 3, 0, 1])
+    for i, l in enumerate(labels):
+        preds[i, l] = 1.0  # perfect
+    preds[5] = [0.9, 0.5, 0, 0]  # wrong top-1, correct top-2
+    top1, top2 = topk_accuracies(preds, labels, ks=(1, 2))
+    assert abs(top1 - 5 / 6 * 100) < 1e-6
+    assert abs(top2 - 100.0) < 1e-6
+    cm = confusion_matrix(preds, labels, 4)
+    assert cm.sum() == 6
+    assert cm[1, 0] == 1  # the one mistake
