@@ -51,10 +51,16 @@ def create_train_state(cfg: Config, spec, key: jax.Array) -> Tuple[TrainState, o
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
-def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int):
+def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: int = 1):
     """Returns ``train_step(state, batch, rng) -> (state, stats)``, jitted with
     donated state. ``batch``: dict with video (B,T,H,W,3), audio (B,T,F,S,1),
-    labels (B,T,3), labels_hm (B,T,h,w)."""
+    labels (B,T,3), labels_hm (B,T,h,w).
+
+    ``accum_steps > 1`` splits the batch into micro-batches and scan-accumulates
+    gradients before the single optimizer update — large effective batches within
+    one chip's HBM (a capability the reference lacks). Note the EgoNCE similarity
+    is then computed per micro-batch (contrastive negatives shrink accordingly).
+    """
     solver = cfg.SOLVER
     alpha = cfg.MODEL.LOSS_ALPHA
     loss_name = cfg.MODEL.LOSS_FUNC
@@ -92,9 +98,38 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int):
         epoch_frac = state.step.astype(jnp.float32) / steps_per_epoch
         lr = get_lr_at_epoch(solver, epoch_frac)
 
-        (_, (stats, preds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, rng
-        )
+        if accum_steps == 1:
+            (_, (stats, preds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, rng
+            )
+        else:
+            micro = {
+                k: v.reshape(accum_steps, v.shape[0] // accum_steps, *v.shape[1:])
+                for k, v in batch.items()
+            }
+
+            def accum(carry, inputs):
+                grads_acc, stats_acc = carry
+                mb, mrng = inputs
+                (_, (stats_i, preds_i)), grads_i = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, mb, mrng)
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads_i)
+                stats_acc = jax.tree_util.tree_map(jnp.add, stats_acc, stats_i)
+                return (grads_acc, stats_acc), preds_i
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            zero_stats = {
+                k: jnp.zeros((), jnp.float32)
+                for k in (["kldiv_loss", "egonce_loss", "loss"] if use_nce else ["kldiv_loss", "loss"])
+            }
+            rngs = jax.random.split(rng, accum_steps)
+            (grads, stats), preds_stack = jax.lax.scan(
+                accum, (zero_grads, zero_stats), (micro, rngs)
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / accum_steps, grads)
+            stats = jax.tree_util.tree_map(lambda s: s / accum_steps, stats)
+            preds = preds_stack.reshape(-1, *preds_stack.shape[2:])
         opt_state = state.opt_state
         opt_state.hyperparams["learning_rate"] = lr.astype(
             opt_state.hyperparams["learning_rate"].dtype
