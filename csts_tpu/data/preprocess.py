@@ -46,6 +46,76 @@ GAZE_UNTRACKED = 3
 
 
 # ----------------------------------------------------------------------------------
+# clip trimming
+# ----------------------------------------------------------------------------------
+
+# The 4 Ego4D videos the reference skips (preprocess.py:39-43)
+EGO4D_SKIP_VIDEOS = {
+    "4e07da0c-450f-4c37-95e9-e793cb5d8f7f.mp4",
+    "5819e52c-4e12-4f86-ad69-76fc215dfbcb.mp4",
+    "83081c5a-8456-44d8-af67-280034f8f0a6.mp4",
+    "a77682da-cae7-4e68-8580-6cb47658b23f.mp4",
+}
+
+
+def parse_untracked_csv(path: str) -> dict:
+    """ego4d_gaze_untracked.csv: video, hh:mm:ss start/end intervals
+    (preprocess.py:25-36). Returns {video_stem: [(start_s, end_s), ...]}."""
+    import csv as _csv
+
+    out: dict = {}
+    with open(path) as f:
+        for line in _csv.reader(f):
+            h0, m0, s0 = line[1].split(":")
+            h1, m1, s1 = line[2].split(":")
+            start = int(h0) * 3600 + int(m0) * 60 + int(s0)
+            end = int(h1) * 3600 + int(m1) * 60 + int(s1)
+            out.setdefault(line[0], []).append((start, end))
+    return out
+
+
+def ego4d_trim_windows(duration: float, untracked: Optional[List[Tuple[float, float]]] = None):
+    """Non-overlapping 5 s windows, skipping any window touching an untracked
+    interval (preprocess.py:54-66). Yields (start, end, clip_name_suffix)."""
+    for i in range(0, int(duration), 5):
+        start, end = i, i + 5
+        if end > duration:
+            break
+        if untracked and any(not (end < a or start > b) for a, b in untracked):
+            continue
+        yield start, end, f"t{start}_t{end}"
+
+
+def aria_trim_windows(duration: float):
+    """Overlapping 5 s windows at 2 s stride; NOTE the reference names them
+    ``t{start}_t{end-1}`` (preprocess.py:91-95)."""
+    for i in range(0, int(duration), 2):
+        start, end = i, i + 5
+        if end > duration:
+            break
+        yield start, end, f"t{start}_t{end - 1}"
+
+
+def trim_video(video_path: str, out_dir: str, windows) -> List[str]:
+    """Cut windows with ffmpeg (stream re-encode like the reference's moviepy path)."""
+    ffmpeg = shutil.which("ffmpeg")
+    if not ffmpeg:
+        raise RuntimeError("ffmpeg binary not available on this host")
+    vid = os.path.splitext(os.path.basename(video_path))[0]
+    os.makedirs(os.path.join(out_dir, vid), exist_ok=True)
+    written = []
+    for start, end, suffix in windows:
+        dst = os.path.join(out_dir, vid, f"{vid}_{suffix}.mp4")
+        subprocess.run(
+            [ffmpeg, "-y", "-v", "error", "-ss", str(start), "-to", str(end),
+             "-i", video_path, "-an", dst],
+            check=True,
+        )
+        written.append(dst)
+    return written
+
+
+# ----------------------------------------------------------------------------------
 # frame labels
 # ----------------------------------------------------------------------------------
 
@@ -219,6 +289,13 @@ def main(argv=None):
     p_pack.add_argument("--short-side", type=int, default=320,
                         help="downscale so augmentation never upsamples (0 = keep)")
 
+    p_trim = sub.add_parser("trim", help="cut source videos into 5s clips")
+    p_trim.add_argument("--input", required=True)
+    p_trim.add_argument("--output", required=True)
+    p_trim.add_argument("--dataset", choices=("ego4d", "aria"), required=True)
+    p_trim.add_argument("--untracked-csv", default=None,
+                        help="ego4d_gaze_untracked.csv (Ego4D only)")
+
     args = parser.parse_args(argv)
 
     if args.stage == "stft":
@@ -247,6 +324,25 @@ def main(argv=None):
                 if not name.endswith(".mp4"):
                     continue
                 print(pack_clip(os.path.join(root, name), args.short_side or None))
+    elif args.stage == "trim":
+        untracked = parse_untracked_csv(args.untracked_csv) if args.untracked_csv else {}
+        for name in sorted(os.listdir(args.input)):
+            if not name.endswith(".mp4"):
+                continue
+            if args.dataset == "ego4d" and name in EGO4D_SKIP_VIDEOS:
+                continue
+            src = os.path.join(args.input, name)
+            reader = video_lib.open_clip(src, backend="auto")
+            meta = reader.meta()
+            duration = meta.num_frames / meta.fps
+            reader.close()
+            vid = os.path.splitext(name)[0]
+            if args.dataset == "ego4d":
+                windows = ego4d_trim_windows(duration, untracked.get(vid))
+            else:
+                windows = aria_trim_windows(duration)
+            for dst in trim_video(src, args.output, windows):
+                print(dst)
     return 0
 
 

@@ -1,0 +1,81 @@
+"""Offline preprocessing: trim windows, frame labels, wav→STFT."""
+
+import os
+import wave
+
+import numpy as np
+
+from csts_tpu.data import preprocess as pp
+
+
+def test_ego4d_trim_windows():
+    # 17 s video -> 5s windows at 0,5,10 (15-20 exceeds duration)
+    wins = list(pp.ego4d_trim_windows(17.0))
+    assert [(a, b) for a, b, _ in wins] == [(0, 5), (5, 10), (10, 15)]
+    assert wins[1][2] == "t5_t10"
+    # untracked interval [4, 6] kills windows overlapping it (preprocess.py:58-65)
+    wins2 = list(pp.ego4d_trim_windows(17.0, untracked=[(4, 6)]))
+    assert [(a, b) for a, b, _ in wins2] == [(10, 15)]
+
+
+def test_aria_trim_windows():
+    wins = list(pp.aria_trim_windows(10.0))
+    # 2 s stride, 5 s length, end <= duration; names use end-1 (preprocess.py:95)
+    assert [(a, b) for a, b, _ in wins] == [(0, 5), (2, 7), (4, 9)]
+    assert wins[0][2] == "t0_t4"
+
+
+def test_parse_untracked_csv(tmp_path):
+    p = tmp_path / "untracked.csv"
+    p.write_text("vid1,0:00:05,0:00:12,360\nvid1,0:01:00,0:01:30,900\nvid2,1:00:00,1:00:10,30\n")
+    out = pp.parse_untracked_csv(str(p))
+    assert out["vid1"] == [(5, 12), (60, 90)]
+    assert out["vid2"] == [(3600, 3610)]
+
+
+def test_ego4d_frame_labels():
+    # gaze at 10 Hz, frames at 30 fps; type flags for saccade and off-image
+    ts = np.arange(0, 1.0, 0.1)
+    xy = np.stack([np.linspace(0.4, 0.6, 10), np.full(10, 0.5)], axis=1)
+    xy[5] = [3.0, 0.5]  # off-image sample
+    labels = pp.ego4d_frame_labels(ts, xy, num_frames=30, fps=30)
+    assert labels.shape == (30, 3)
+    # y flipped to image coordinates
+    np.testing.assert_allclose(labels[0, 1], 0.5)
+    assert labels[0, 2] == pp.GAZE_FIXATION
+    # frames nearest the off-image sample are flagged trimmed
+    assert (labels[:, 2] == pp.GAZE_TRIMMED).any()
+    # untracked interval flagging
+    labels2 = pp.ego4d_frame_labels(ts, xy, 30, 30, untracked=[(0.0, 0.2)])
+    assert (labels2[:7, 2] == pp.GAZE_UNTRACKED).all()
+
+
+def test_aria_frame_labels():
+    ts = np.arange(0, 1.0, 0.1)
+    xy_px = np.stack([np.linspace(200, 900, 10), np.linspace(200, 400, 10)], axis=1)
+    labels = pp.aria_frame_labels(ts, xy_px, num_frames=20, fps=20)
+    assert labels.shape == (20, 3)
+    # axis swap: x_out = 1 - y/1408, y_out = x/1408 (preprocess.py:161-244)
+    np.testing.assert_allclose(labels[0, 0], 1 - 200 / 1408, atol=1e-6)
+    np.testing.assert_allclose(labels[0, 1], 200 / 1408, atol=1e-6)
+    # fast pixel movement -> saccades flagged
+    assert (labels[1:, 2] == pp.GAZE_SACCADE).any()
+
+
+def test_wav_roundtrip_stft(tmp_path):
+    sr = 24000
+    t = np.arange(sr) / sr
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    wav_path = str(tmp_path / "tone.wav")
+    with wave.open(wav_path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(tone.tobytes())
+
+    npy_path = str(tmp_path / "tone.npy")
+    pp.audio_stft_file(wav_path, npy_path)
+    spec = np.load(npy_path)
+    assert spec.shape[0] == 256
+    peak_bin = np.argmax(spec.mean(axis=1))
+    assert 8 <= peak_bin <= 11  # 440 Hz at 24 kHz / 511-point fft
