@@ -240,6 +240,10 @@ class Config:
     RNG_SEED: int = 1
     LOG_PERIOD: int = 10
     LOG_MODEL_INFO: bool = True
+    # jax_debug_nans tracing — the framework's sanitizer story (SURVEY §5 row 2):
+    # faults at the first NaN-producing op instead of the reference's end-of-step
+    # check_nan_losses guard (misc.py:26-33, kept as well in train.step).
+    DEBUG_NANS: bool = False
 
     def finalize(self) -> "Config":
         """Validation + derived values (``assert_and_infer_cfg`` defaults.py:945-970)."""

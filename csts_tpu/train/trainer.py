@@ -50,6 +50,8 @@ def train(cfg: Config) -> None:
     setup_logging(cfg.OUTPUT_DIR)
     logger.info("Train with config:")
     logger.info(pprint.pformat(cfg.dump()))
+    if cfg.DEBUG_NANS:
+        jax.config.update("jax_debug_nans", True)
 
     spec = csts_lib.build_spec(cfg)
     mesh = mesh_lib.make_mesh(num_devices=cfg.NUM_DEVICES if cfg.NUM_DEVICES > 0 else None)
