@@ -196,3 +196,30 @@ def test_gradient_accumulation_matches_full_batch(setup):
     leaf2 = np.asarray(s2.params["classifier"]["w"])
     # updates should be close (not identical: droppath keys differ per micro-batch)
     assert np.abs(leaf1 - leaf2).max() < 1e-2
+
+
+def test_model_parallel_forward_matches_replicated(setup):
+    """2-way tensor parallelism over the model axis: shard qkv/mlp weights
+    Megatron-style via param_sharding_rules and let XLA propagate — the forward must
+    equal the replicated run (TP is a capability beyond the reference, SURVEY §2.2)."""
+    cfg, spec, fresh_state, _, _ = setup
+    state = fresh_state()
+    rng = np.random.default_rng(7)
+    batch = make_batch(rng, 4)
+    video = jnp.asarray(batch["video"])
+    audio = jnp.asarray(batch["audio"])
+
+    ref = csts_lib.csts_apply(state.params, spec, video, audio)
+
+    mesh = mesh_lib.make_mesh(model_parallel=2)  # 4x2 (data, model)
+    with jax.sharding.set_mesh(mesh):
+        shardings = mesh_lib.param_sharding_rules(mesh, state.params, model_parallel=True)
+        params_tp = jax.tree_util.tree_map(
+            lambda p, s: jax.device_put(p, s), state.params, shardings
+        )
+        batch_sharded = jax.device_put(video, mesh_lib.batch_sharding(mesh))
+        audio_sharded = jax.device_put(audio, mesh_lib.batch_sharding(mesh))
+        out = jax.jit(lambda p, v, a: csts_lib.csts_apply(p, spec, v, a))(
+            params_tp, batch_sharded, audio_sharded
+        )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
