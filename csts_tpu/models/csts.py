@@ -87,6 +87,14 @@ def build_spec(cfg: Config) -> CSTSSpec:
     spatial_size = cfg.DATA.TRAIN_CROP_SIZE
     temporal_size = cfg.DATA.NUM_FRAMES
     patch_stride = tuple(cfg.MVIT.PATCH_STRIDE)
+    patch_kernel = tuple(cfg.MVIT.PATCH_KERNEL)
+    patch_padding = tuple(cfg.MVIT.PATCH_PADDING)
+    if cfg.MVIT.PATCH_2D:
+        # 2-D patchify == per-frame conv == 3-D conv with temporal extent 1
+        # (stem_helper.py:22-26 + the [1]+stride prepend at builder :40-41)
+        patch_kernel = (1, *patch_kernel[-2:])
+        patch_stride = (1, *patch_stride[-2:])
+        patch_padding = (0, *patch_padding[-2:])
     patch_dims = (
         temporal_size // patch_stride[0],
         spatial_size // patch_stride[1],
@@ -257,9 +265,9 @@ def build_spec(cfg: Config) -> CSTSSpec:
         crop_size=spatial_size,
         num_frames=temporal_size,
         in_chans=cfg.DATA.INPUT_CHANNEL_NUM[0],
-        patch_kernel=tuple(cfg.MVIT.PATCH_KERNEL),
+        patch_kernel=patch_kernel,
         patch_stride=patch_stride,
-        patch_padding=tuple(cfg.MVIT.PATCH_PADDING),
+        patch_padding=patch_padding,
         embed_dim=cfg.MVIT.EMBED_DIM,
         patch_dims=patch_dims,
         audio_patch_dims=audio_patch_dims,
