@@ -139,3 +139,40 @@ def test_audio_branch_checkpoint_merge(pyth_checkpoint, tmp_path):
     np.testing.assert_allclose(
         np.asarray(state.params["blocks"][1]["attn"]["qkv"]["w"]), ref_video
     )
+
+
+def test_convert_checkpoint_cli(pyth_checkpoint, tmp_path):
+    """tools/convert_checkpoint.py writes an .npz loadable by the serving path."""
+    import subprocess
+    import sys
+
+    path, oracle = pyth_checkpoint
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(
+        "DATA:\n  TRAIN_CROP_SIZE: 64\n  TEST_CROP_SIZE: 64\n"
+        "  AUDIO_FREQ_BINS: 64\n  AUDIO_WINDOW: 64\n"
+        "MVIT:\n  PATCH_PADDING: [1, 3, 3]\n  CLS_EMBED_ON: False\n  SEP_POS_EMBED: True\n"
+        "  DIM_MUL: [[1, 2.0], [3, 2.0], [14, 2.0]]\n  HEAD_MUL: [[1, 2.0], [3, 2.0], [14, 2.0]]\n"
+        "  POOL_KVQ_KERNEL: [3, 3, 3]\n  POOL_KV_STRIDE_ADAPTIVE: [1, 8, 8]\n"
+        "  POOL_Q_STRIDE: [[1, 1, 2, 2], [3, 1, 2, 2], [14, 1, 2, 2]]\n"
+        "MODEL:\n  LOSS_FUNC: kldiv+egonce\n"
+        f"OUTPUT_DIR: {tmp_path}\n"
+    )
+    out_npz = str(tmp_path / "weights.npz")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disable the TPU sitecustomize hook
+    res = subprocess.run(
+        [sys.executable, "tools/convert_checkpoint.py", "--cfg", str(cfg_yaml),
+         "--input", path, "--output", out_npz],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert os.path.exists(out_npz)
+
+    cfg = tiny_cfg()
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+    loaded = cu.load_params_npz(out_npz, params)
+    ref = oracle.state_dict()["blocks.3.attn.qkv.weight"].numpy().T
+    np.testing.assert_allclose(np.asarray(loaded["blocks"][3]["attn"]["qkv"]["w"]), ref)
