@@ -21,7 +21,7 @@ from csts_tpu import ops
 from csts_tpu.config import Config
 from csts_tpu.models import mvit
 from csts_tpu.models.build import MODEL_REGISTRY
-from csts_tpu.models.csts import _thw_after_blocks, build_spec as build_csts_spec
+from csts_tpu.models.csts import build_spec as build_csts_spec
 from csts_tpu.models.mvit import AttentionSpec, THW
 
 

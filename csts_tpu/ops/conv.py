@@ -20,7 +20,7 @@ Numerical-parity notes (validated against torch CPU in tests/test_ops_parity.py)
 
 from __future__ import annotations
 
-from typing import Sequence, Tuple
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -15,8 +15,6 @@ fractional epoch (the reference mutates optimizer.param_groups host-side per ite
 
 from __future__ import annotations
 
-from typing import Callable, Set
-
 import jax
 import jax.numpy as jnp
 import optax

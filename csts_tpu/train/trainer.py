@@ -15,7 +15,6 @@ import threading
 import numpy as np
 
 import jax
-import jax.numpy as jnp
 
 from csts_tpu.config import Config
 from csts_tpu.data import loader as loader_lib
