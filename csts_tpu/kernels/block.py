@@ -1,0 +1,284 @@
+"""Fused transformer-block kernel (Pallas, TPU) for non-Q-pooling MViT blocks.
+
+XLA cost analysis shows the CSTS forward is HBM-bound (≈23 flop/byte vs the v5e
+ridge ≈240): every block materializes ~a dozen full-width activation tensors
+(LN casts, qkv, per-head reshapes, attention probs, MLP hidden, residuals). This
+kernel computes an ENTIRE block — LN1 → Q projection → attention against
+precomputed pooled K/V → output projection → residual → LN2 → MLP (+ dim-change
+projection) → residual — per 512-token tile with everything resident in VMEM.
+HBM traffic per tile drops to: read x once, read the (tiny) pooled K/V and weights,
+write the output once.
+
+Eligibility (checked by :func:`eligible`): blocks whose residual skip is identity —
+no Q-pooling (attention.py:234-241 reduces to identity when stride_q is empty),
+no mask, deterministic or drop_path == 0. That covers 13 of 16 video blocks, audio
+block 0, and the stage-2/3 workhorses where the bytes are. K/V pooling (a strided
+depthwise conv needing cross-tile halos) and the Q-pool stage-transition blocks
+stay on the XLA composite path.
+
+Padding strategy: the lane dim must be 128-aligned, so channels are padded with
+ZERO weights/params — zeros flow through LN (statistics divide by the REAL width),
+matmuls, GELU and softmax contributions without affecting real lanes (tested).
+
+Backward: custom VJP recomputing through the XLA composite block (rematerialized —
+same memory story as flash attention).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def eligible(spec, mask, deterministic: bool) -> bool:
+    """Can this block run through the fused kernel?"""
+    return (
+        spec.fused
+        and not spec.upsample_q
+        and not spec.pool_q_on
+        and not spec.skip_pool_on
+        and not spec.has_cls
+        and mask is None
+        and (deterministic or spec.drop_path == 0.0)
+        and spec.dim % spec.num_heads == 0
+    )
+
+
+def _pad_last(a, target):
+    pad = target - a.shape[-1]
+    if pad == 0:
+        return a
+    return jnp.pad(a, [(0, 0)] * (a.ndim - 1) + [(0, pad)])
+
+
+def _block_kernel(
+    x_ref, k_ref, v_ref,
+    ln1s_ref, ln1b_ref, wq_ref, bq_ref, wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    wres_ref, bres_ref,
+    out_ref,
+    *, heads: int, hd_p: int, c_real: int, scale: float, has_res_proj: bool,
+):
+    """One (batch, token-tile) grid step. Shapes (padded):
+    x (TILE, Cp) · k/v (heads, Lk, hd_p) · wq (Cp, heads*hd_p) · wproj (heads*hd_p, Cp)
+    · wfc1 (Cp, HIDp) · wfc2 (HIDp, Cop) · wres (Cp, Cop) · out (TILE, Cop)."""
+    f32 = jnp.float32
+    x = x_ref[:].astype(f32)
+
+    # LN1 — statistics over the REAL channel count (padded lanes are zero)
+    mean = jnp.sum(x, axis=-1, keepdims=True) / c_real
+    var = jnp.sum(jnp.square(x), axis=-1, keepdims=True) / c_real - jnp.square(mean)
+    xn = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn * ln1s_ref[:].astype(f32) + ln1b_ref[:].astype(f32)  # pads: scale 0 → 0
+    xn16 = xn.astype(x_ref.dtype)
+
+    # Q projection for all heads at once: (TILE, heads*hd_p)
+    q = jnp.dot(xn16, wq_ref[:], preferred_element_type=f32) + bq_ref[:].astype(f32)
+
+    # attention per head, probabilities resident in VMEM
+    av_parts = []
+    for h in range(heads):
+        qh = q[:, h * hd_p : (h + 1) * hd_p].astype(x_ref.dtype)
+        kh = k_ref[h]
+        logits = jax.lax.dot_general(
+            qh, kh, (((1,), (1,)), ((), ())), preferred_element_type=f32
+        ) * scale
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        avh = jnp.dot(p.astype(x_ref.dtype), v_ref[h], preferred_element_type=f32)
+        av_parts.append(avh)
+    av = av_parts[0] if heads == 1 else jnp.concatenate(av_parts, axis=-1)
+
+    attn_out = (
+        jnp.dot(av.astype(x_ref.dtype), wproj_ref[:], preferred_element_type=f32)
+        + bproj_ref[:].astype(f32)
+    )
+    res1 = x + attn_out  # identity skip (no Q-pool by eligibility)
+
+    # LN2
+    mean2 = jnp.sum(res1, axis=-1, keepdims=True) / c_real
+    var2 = jnp.sum(jnp.square(res1), axis=-1, keepdims=True) / c_real - jnp.square(mean2)
+    xn2 = (res1 - mean2) * jax.lax.rsqrt(var2 + 1e-6)
+    xn2 = xn2 * ln2s_ref[:].astype(f32) + ln2b_ref[:].astype(f32)
+    xn2_16 = xn2.astype(x_ref.dtype)
+
+    hid = jnp.dot(xn2_16, wfc1_ref[:], preferred_element_type=f32) + bfc1_ref[:].astype(f32)
+    hid = jax.nn.gelu(hid, approximate=False)
+    mlp = (
+        jnp.dot(hid.astype(x_ref.dtype), wfc2_ref[:], preferred_element_type=f32)
+        + bfc2_ref[:].astype(f32)
+    )
+
+    if has_res_proj:
+        base = (
+            jnp.dot(xn2_16, wres_ref[:], preferred_element_type=f32)
+            + bres_ref[:].astype(f32)
+        )
+    else:
+        base = res1
+    out_ref[:] = (base + mlp).astype(out_ref.dtype)
+
+
+def _pick_tile(l: int) -> int:
+    for t in (512, 256, 128):
+        if l % t == 0:
+            return t
+    return l
+
+
+def _prep_operands(p: dict, spec, k, v):
+    """Pad params/K/V to Mosaic-aligned shapes. Returns (operands, meta)."""
+    c = spec.dim
+    c_out = spec.dim_out
+    heads = spec.num_heads
+    hd = spec.head_dim
+    hidden = int(spec.dim * spec.mlp_ratio)
+
+    cp = _round_up(c, 128)
+    cop = _round_up(c_out, 128)
+    hd_p = _round_up(hd, 128)
+    hid_p = _round_up(hidden, 128)
+
+    dt = k.dtype
+    # qkv weight (C, 3C): q slice reshaped (C, heads, hd) -> padded (Cp, heads*hd_p)
+    wqkv = p["attn"]["qkv"]["w"]
+    wq = wqkv[:, :c].reshape(c, heads, hd)
+    wq = jnp.pad(wq, [(0, cp - c), (0, 0), (0, hd_p - hd)]).reshape(cp, heads * hd_p)
+    bq_full = p["attn"]["qkv"].get("b")
+    bq = bq_full[:c].reshape(heads, hd) if bq_full is not None else jnp.zeros((heads, hd))
+    bq = jnp.pad(bq, [(0, 0), (0, hd_p - hd)]).reshape(1, heads * hd_p)
+
+    wproj = p["attn"]["proj"]["w"].reshape(heads, hd, c)
+    wproj = jnp.pad(wproj, [(0, 0), (0, hd_p - hd), (0, cp - c)]).reshape(heads * hd_p, cp)
+    bproj = jnp.pad(p["attn"]["proj"]["b"], (0, cp - c)).reshape(1, cp)
+
+    ln1s = jnp.pad(p["norm1"]["scale"], (0, cp - c)).reshape(1, cp)
+    ln1b = jnp.pad(p["norm1"]["bias"], (0, cp - c)).reshape(1, cp)
+    ln2s = jnp.pad(p["norm2"]["scale"], (0, cp - c)).reshape(1, cp)
+    ln2b = jnp.pad(p["norm2"]["bias"], (0, cp - c)).reshape(1, cp)
+
+    wfc1 = jnp.pad(p["mlp"]["fc1"]["w"], [(0, cp - c), (0, hid_p - hidden)])
+    bfc1 = jnp.pad(p["mlp"]["fc1"]["b"], (0, hid_p - hidden)).reshape(1, hid_p)
+    wfc2 = jnp.pad(p["mlp"]["fc2"]["w"], [(0, hid_p - hidden), (0, cop - c_out)])
+    bfc2 = jnp.pad(p["mlp"]["fc2"]["b"], (0, cop - c_out)).reshape(1, cop)
+
+    if c != c_out:
+        wres = jnp.pad(p["proj"]["w"], [(0, cp - c), (0, cop - c_out)])
+        bres = jnp.pad(p["proj"]["b"], (0, cop - c_out)).reshape(1, cop)
+        has_res = True
+    else:
+        wres = jnp.zeros((cp, cop), dt)
+        bres = jnp.zeros((1, cop), dt)
+        has_res = False
+
+    kp = _pad_last(k, hd_p)
+    vp = _pad_last(v, hd_p)
+
+    weights = [w.astype(dt) for w in (
+        ln1s, ln1b, wq, bq, wproj, bproj, ln2s, ln2b, wfc1, bfc1, wfc2, bfc2, wres, bres
+    )]
+    meta = dict(cp=cp, cop=cop, hd_p=hd_p, heads=heads, has_res=has_res)
+    return kp, vp, weights, meta
+
+
+def _fused_block_impl(x, k, v, p, spec, interpret: bool):
+    b, l, c = x.shape
+    tile = _pick_tile(l)
+    kp, vp, weights, meta = _prep_operands(p, spec, k, v)
+    cp, cop, hd_p, heads = meta["cp"], meta["cop"], meta["hd_p"], meta["heads"]
+    lk = kp.shape[2]
+
+    xp = _pad_last(x, cp)
+
+    kernel = functools.partial(
+        _block_kernel,
+        heads=heads, hd_p=hd_p, c_real=c, scale=float(spec.scale),
+        has_res_proj=meta["has_res"],
+    )
+
+    def idx_x(i, j):
+        return (i, j, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, tile, cp), idx_x, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    # weights: full arrays, same for every grid step
+    for w in weights:
+        nd = w.ndim
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i, j, nd=nd: (0,) * nd, memory_space=pltpu.VMEM)
+        )
+
+    def wrapped(*refs):
+        x_ref, k_ref, v_ref = refs[0], refs[1], refs[2]
+        wrefs = refs[3:-1]
+        out_ref = refs[-1]
+        kernel(x_ref.at[0], k_ref.at[0], v_ref.at[0], *wrefs, out_ref.at[0])
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=(b, l // tile),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, cop), idx_x, memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, cop), x.dtype),
+        interpret=interpret,
+    )(xp, kp, vp, *weights)
+    return out[..., : spec.dim_out]
+
+
+def _composite_block(x, k, v, p, spec):
+    """XLA reference path (used for the recompute backward); mirrors
+    models/mvit.multiscale_block_apply for the eligible (identity-skip) case."""
+    from csts_tpu import ops
+    from csts_tpu.models import mvit
+
+    xn = ops.layer_norm(p["norm1"], x)
+    qkv = ops.linear_apply(p["attn"]["qkv"], xn)
+    b, l, _ = qkv.shape
+    q = qkv[..., : spec.dim].reshape(b, l, spec.num_heads, spec.head_dim).transpose(0, 2, 1, 3)
+    out, _ = mvit._attention_core(q, k, v, spec.scale, None, fused=False)
+    attn_out = ops.linear_apply(p["attn"]["proj"], mvit._merge_heads(out))
+    res1 = x + attn_out
+    xn2 = ops.layer_norm(p["norm2"], res1)
+    mlp = ops.mlp_apply(p["mlp"], xn2)
+    base = ops.linear_apply(p["proj"], xn2) if spec.dim != spec.dim_out else res1
+    return base + mlp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_block(x, k, v, p, spec, interpret):
+    return _fused_block_impl(x, k, v, p, spec, interpret)
+
+
+def _fwd(x, k, v, p, spec, interpret):
+    return _fused_block_impl(x, k, v, p, spec, interpret), (x, k, v, p)
+
+
+def _bwd(spec, interpret, residuals, g):
+    x, k, v, p = residuals
+    _, vjp = jax.vjp(lambda x_, k_, v_, p_: _composite_block(x_, k_, v_, p_, spec), x, k, v, p)
+    return vjp(g)
+
+
+_fused_block.defvjp(_fwd, _bwd)
+
+
+def fused_block(x, k_pooled, v_pooled, params, spec, interpret: bool = False):
+    """Run an eligible block through the fused kernel.
+
+    x: (B, L, C) tokens; k/v_pooled: (B, H, Lk, hd) already pooled+normed.
+    Returns (B, L, dim_out)."""
+    return _fused_block(x, k_pooled, v_pooled, params, spec, interpret)

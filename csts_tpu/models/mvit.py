@@ -373,6 +373,32 @@ def multiscale_attention_apply(
     return out, q_thw
 
 
+def _pooled_kv(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
+    """Phase 1 for the fused-block kernel: LN1 + the K/V slice of the fused qkv
+    projection + depthwise-conv pooling + pool-norm, in XLA (the pooling conv needs
+    cross-tile halos, so it stays outside the kernel)."""
+    xn = ops.layer_norm(p["norm1"], x)
+    wq = p["attn"]["qkv"]["w"]
+    kv_w = {"w": wq[:, spec.dim :]}
+    if "b" in p["attn"]["qkv"]:
+        kv_w["b"] = p["attn"]["qkv"]["b"][spec.dim :]
+    kv = ops.linear_apply(kv_w, xn)
+    b, l, _ = kv.shape
+    kv = kv.reshape(b, l, 2, spec.num_heads, spec.head_dim)
+    k = kv[:, :, 0].transpose(0, 2, 1, 3)
+    v = kv[:, :, 1].transpose(0, 2, 1, 3)
+    if "pool_k" in p["attn"]:
+        k, _ = pool_heads_conv(
+            k, p["attn"]["pool_k"], p["attn"].get("norm_k"), thw,
+            spec.stride_kv, spec.padding_kv,
+        )
+        v, _ = pool_heads_conv(
+            v, p["attn"]["pool_v"], p["attn"].get("norm_v"), thw,
+            spec.stride_kv, spec.padding_kv,
+        )
+    return k, v
+
+
 # ----------------------------------------------------------------------------------
 # MultiScaleBlock (encoder & decoder share this skeleton) — attention.py:165-248,395-479
 # ----------------------------------------------------------------------------------
@@ -413,7 +439,25 @@ def multiscale_block_apply(
       residual uses the *normed* activations (attention.py:243-247);
     * fusion blocks pass stride_q=() so both skip transforms are identity
       (av_attention.py:231,449 set pool_skip = None).
+
+    Eligible identity-skip blocks dispatch the whole post-KV computation to the
+    fused Pallas mega-kernel (kernels/block.py) on TPU — the HBM-traffic fix for
+    the bandwidth-bound profile.
     """
+    from csts_tpu.kernels import attention as ka
+    from csts_tpu.kernels import block as kb
+
+    if (
+        kb.eligible(spec, mask, deterministic)
+        and ka.enabled()
+        and not return_attn
+        and spec.dim <= 384  # VMEM budget for the resident weights
+        and x.shape[1] % 128 == 0  # token tiles must align to sublane tiling
+    ):
+        k, v = _pooled_kv(p, spec, x, thw)
+        out = kb.fused_block(x, k, v, p, spec)
+        return out, thw
+
     attn_out = multiscale_attention_apply(
         p["attn"], spec, ops.layer_norm(p["norm1"], x), thw,
         mask=mask, return_attn=return_attn, reverse_split=reverse_split,
