@@ -114,7 +114,8 @@ def _block_kernel(
     xn2_16 = xn2.astype(x_ref.dtype)
 
     hid = jnp.dot(xn2_16, wfc1_ref[:], preferred_element_type=f32) + bfc1_ref[:].astype(f32)
-    hid = jax.nn.gelu(hid, approximate=False)
+    # exact GELU via erf (jax.nn.gelu's erfc lowering is unimplemented in Mosaic)
+    hid = 0.5 * hid * (1.0 + jax.lax.erf(hid * np.float32(1.0 / np.sqrt(2.0))))
     mlp = (
         jnp.dot(hid.astype(x_ref.dtype), wfc2_ref[:], preferred_element_type=f32)
         + bfc2_ref[:].astype(f32)
