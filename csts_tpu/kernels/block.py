@@ -40,6 +40,18 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 rational erf, |error| ≤ 1.5e-7 (fp32-exact).
+    Mosaic implements neither the erf nor erfc primitives."""
+    a1, a2, a3, a4, a5 = 0.254829592, -0.284496736, 1.421413741, -1.453152027, 1.061405429
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = ((((a5 * t + a4) * t + a3) * t + a2) * t + a1) * t
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
 def eligible(spec, mask, deterministic: bool) -> bool:
     """Can this block run through the fused kernel?"""
     return (
@@ -114,8 +126,8 @@ def _block_kernel(
     xn2_16 = xn2.astype(x_ref.dtype)
 
     hid = jnp.dot(xn2_16, wfc1_ref[:], preferred_element_type=f32) + bfc1_ref[:].astype(f32)
-    # exact GELU via erf (jax.nn.gelu's erfc lowering is unimplemented in Mosaic)
-    hid = 0.5 * hid * (1.0 + jax.lax.erf(hid * np.float32(1.0 / np.sqrt(2.0))))
+    # exact GELU via the polynomial erf (Mosaic lacks the erf/erfc primitives)
+    hid = 0.5 * hid * (1.0 + _erf(hid * np.float32(1.0 / np.sqrt(2.0))))
     mlp = (
         jnp.dot(hid.astype(x_ref.dtype), wfc2_ref[:], preferred_element_type=f32)
         + bfc2_ref[:].astype(f32)
