@@ -295,3 +295,133 @@ def fused_block(x, k_pooled, v_pooled, params, spec, interpret: bool = False):
     x: (B, L, C) tokens; k/v_pooled: (B, H, Lk, hd) already pooled+normed.
     Returns (B, L, dim_out)."""
     return _fused_block(x, k_pooled, v_pooled, params, spec, interpret)
+
+
+# ----------------------------------------------------------------------------------
+# Fused MLP tail: LN2 → MLP (+ dim-change proj) → residual.
+# Covers the second half of EVERY block — including the Q-pool/upsample blocks and
+# the decoder, whose attention stays on the composite path.
+# ----------------------------------------------------------------------------------
+
+
+def _mlp_tail_kernel(
+    x_ref, ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    wres_ref, bres_ref, out_ref,
+    *, c_real: int, has_res_proj: bool,
+):
+    f32 = jnp.float32
+    x = x_ref[:].astype(f32)
+    mean = jnp.sum(x, axis=-1, keepdims=True) / c_real
+    var = jnp.sum(jnp.square(x), axis=-1, keepdims=True) / c_real - jnp.square(mean)
+    xn = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn * ln2s_ref[:].astype(f32) + ln2b_ref[:].astype(f32)
+    xn16 = xn.astype(x_ref.dtype)
+    hid = jnp.dot(xn16, wfc1_ref[:], preferred_element_type=f32) + bfc1_ref[:].astype(f32)
+    hid = 0.5 * hid * (1.0 + _erf(hid * np.float32(1.0 / np.sqrt(2.0))))
+    mlp = (
+        jnp.dot(hid.astype(x_ref.dtype), wfc2_ref[:], preferred_element_type=f32)
+        + bfc2_ref[:].astype(f32)
+    )
+    if has_res_proj:
+        base = jnp.dot(xn16, wres_ref[:], preferred_element_type=f32) + bres_ref[:].astype(f32)
+    else:
+        base = x
+    out_ref[:] = (base + mlp).astype(out_ref.dtype)
+
+
+def _prep_tail_weights(p: dict, spec, dt):
+    c, c_out = spec.dim, spec.dim_out
+    hidden = int((spec.dim_out if spec.upsample_q else spec.dim) * spec.mlp_ratio)
+    cp, cop, hid_p = _round_up(c, 128), _round_up(c_out, 128), _round_up(hidden, 128)
+    ln2s = jnp.pad(p["norm2"]["scale"], (0, cp - c)).reshape(1, cp)
+    ln2b = jnp.pad(p["norm2"]["bias"], (0, cp - c)).reshape(1, cp)
+    wfc1 = jnp.pad(p["mlp"]["fc1"]["w"], [(0, cp - c), (0, hid_p - hidden)])
+    bfc1 = jnp.pad(p["mlp"]["fc1"]["b"], (0, hid_p - hidden)).reshape(1, hid_p)
+    wfc2 = jnp.pad(p["mlp"]["fc2"]["w"], [(0, hid_p - hidden), (0, cop - c_out)])
+    bfc2 = jnp.pad(p["mlp"]["fc2"]["b"], (0, cop - c_out)).reshape(1, cop)
+    if c != c_out:
+        wres = jnp.pad(p["proj"]["w"], [(0, cp - c), (0, cop - c_out)])
+        bres = jnp.pad(p["proj"]["b"], (0, cop - c_out)).reshape(1, cop)
+        has_res = True
+    else:
+        wres = jnp.zeros((cp, cop), dt)
+        bres = jnp.zeros((1, cop), dt)
+        has_res = False
+    ws = [w.astype(dt) for w in (ln2s, ln2b, wfc1, bfc1, wfc2, bfc2, wres, bres)]
+    return ws, cp, cop, has_res
+
+
+def _mlp_tail_impl(x, p, spec, interpret: bool):
+    b, l, c = x.shape
+    tile = _pick_tile(l)
+    if spec.dim > 384 or spec.dim_out > 384:
+        # VMEM budget: the fp32 hidden tile (TILE, 4·dim) plus ~9 MB of weights
+        tile = min(tile, 256)
+        while l % tile:
+            tile //= 2
+    ws, cp, cop, has_res = _prep_tail_weights(p, spec, x.dtype)
+    xp = _pad_last(x, cp)
+    kernel = functools.partial(_mlp_tail_kernel, c_real=c, has_res_proj=has_res)
+
+    in_specs = [pl.BlockSpec((1, tile, cp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)]
+    for w in ws:
+        nd = w.ndim
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i, j, nd=nd: (0,) * nd, memory_space=pltpu.VMEM)
+        )
+
+    def wrapped(*refs):
+        kernel(refs[0].at[0], *refs[1:-1], refs[-1].at[0])
+
+    out = pl.pallas_call(
+        wrapped,
+        grid=(b, l // tile),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, cop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, cop), x.dtype),
+        interpret=interpret,
+    )(xp, *ws)
+    return out[..., : spec.dim_out]
+
+
+def _composite_tail(x, p, spec):
+    from csts_tpu import ops
+
+    xn2 = ops.layer_norm(p["norm2"], x)
+    mlp = ops.mlp_apply(p["mlp"], xn2)
+    base = ops.linear_apply(p["proj"], xn2) if spec.dim != spec.dim_out else x
+    return base + mlp
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _mlp_tail(x, p, spec, interpret):
+    return _mlp_tail_impl(x, p, spec, interpret)
+
+
+def _tail_fwd(x, p, spec, interpret):
+    return _mlp_tail_impl(x, p, spec, interpret), (x, p)
+
+
+def _tail_bwd(spec, interpret, residuals, g):
+    x, p = residuals
+    _, vjp = jax.vjp(lambda x_, p_: _composite_tail(x_, p_, spec), x, p)
+    return vjp(g)
+
+
+_mlp_tail.defvjp(_tail_fwd, _tail_bwd)
+
+
+def tail_eligible(spec, deterministic: bool, l: int) -> bool:
+    """LN2+MLP+proj+residual fusion applies to any block once the residual input is
+    formed, as long as stochastic depth is inactive and tiles align."""
+    return (
+        spec.fused
+        and (deterministic or spec.drop_path == 0.0)
+        and l % 128 == 0
+        and spec.dim <= 768
+    )
+
+
+def fused_mlp_tail(x, params, spec, interpret: bool = False):
+    """x: (B, L, C) residual-complete attention output. Returns (B, L, dim_out)."""
+    return _mlp_tail(x, params, spec, interpret)

@@ -485,6 +485,18 @@ def multiscale_block_apply(
     if drop_path_key is not None:
         k1, k2 = jax.random.split(drop_path_key)
     x = x_res + ops.drop_path(x_block, spec.drop_path, k1, deterministic)
+
+    # second half of the block — fused LN2+MLP+proj+residual kernel when possible
+    if (
+        kb.tail_eligible(spec, deterministic, x.shape[1])
+        and ka.enabled()
+        and mask is None
+    ):
+        x = kb.fused_mlp_tail(x, p, spec)
+        if return_attn:
+            return x, thw_new, attn
+        return x, thw_new
+
     x_norm = ops.layer_norm(p["norm2"], x)
     x_mlp = ops.mlp_apply(p["mlp"], x_norm)
     if spec.dim != spec.dim_out:

@@ -135,9 +135,43 @@ def test_model_with_fused_blocks_matches(rng, monkeypatch):
             q, k, v, scale, mask, interpret=True
         ),
     )
+    orig_tail = kb.fused_mlp_tail
+    monkeypatch.setattr(
+        kb, "fused_mlp_tail",
+        lambda x, p, s, interpret=False: orig_tail(x, p, s, interpret=True),
+    )
     ka.set_enabled(True)
     try:
         out = csts_lib.csts_apply(params, spec, video, audio)
     finally:
         ka.set_enabled(None)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+
+@pytest.mark.parametrize("dim,dim_out,upsample", [(384, 384, False), (384, 192, True), (768, 768, False)])
+def test_mlp_tail_matches_composite(rng, dim, dim_out, upsample):
+    spec = AttentionSpec(
+        dim=dim, dim_out=dim_out, num_heads=4,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
+        stride_q=(1, 2, 2), stride_kv=(1, 2, 2),
+        upsample_q=upsample, fused=True,
+    )
+    params = make_block(jax.random.PRNGKey(3), spec)
+    x = jnp.asarray(rng.standard_normal((2, 256, dim)), jnp.float32)
+    ref = kb._composite_tail(x, params, spec)
+    out = kb.fused_mlp_tail(x, params, spec, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+def test_mlp_tail_gradients(rng):
+    spec = AttentionSpec(
+        dim=96, dim_out=192, num_heads=1,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
+        stride_q=(1, 2, 2), stride_kv=(1, 2, 2), fused=True,
+    )
+    params = make_block(jax.random.PRNGKey(4), spec)
+    x = jnp.asarray(rng.standard_normal((1, 128, 96)), jnp.float32)
+
+    g1 = jax.grad(lambda x: jnp.sum(jnp.square(kb.fused_mlp_tail(x, params, spec, interpret=True))))(x)
+    g2 = jax.grad(lambda x: jnp.sum(jnp.square(kb._composite_tail(x, params, spec))))(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-3, rtol=1e-3)
