@@ -61,7 +61,7 @@ def eligible(spec, mask, deterministic: bool) -> bool:
         and not spec.skip_pool_on
         and not spec.has_cls
         and mask is None
-        and (deterministic or spec.drop_path == 0.0)
+        and deterministic  # inference-only: the recompute VJP loses to stored residuals
         and spec.dim % spec.num_heads == 0
     )
 
@@ -416,7 +416,7 @@ def tail_eligible(spec, deterministic: bool, l: int) -> bool:
     formed, as long as stochastic depth is inactive and tiles align."""
     return (
         spec.fused
-        and (deterministic or spec.drop_path == 0.0)
+        and deterministic  # inference-only (see eligible())
         and l % 128 == 0
         and spec.dim <= 768
     )
