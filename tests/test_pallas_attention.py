@@ -109,13 +109,25 @@ def test_model_fused_flag_dispatches(rng, monkeypatch):
     ka.set_enabled(False)
     ref = csts_lib.csts_apply(params, spec, video, audio)
 
-    # force-enable with interpret via monkeypatching the kernel entry
+    # force-enable with interpret via monkeypatching the kernel entries
+    from csts_tpu.kernels import block as kb
+
     orig = ka.fused_attention
 
     def interp_fused(q, k, v, scale, mask=None, interpret=False):
         return orig(q, k, v, scale, mask, interpret=True)
 
     monkeypatch.setattr(ka, "fused_attention", interp_fused)
+    orig_blk = kb.fused_block
+    monkeypatch.setattr(
+        kb, "fused_block",
+        lambda x, k, v, p, s, interpret=False: orig_blk(x, k, v, p, s, interpret=True),
+    )
+    orig_tail = kb.fused_mlp_tail
+    monkeypatch.setattr(
+        kb, "fused_mlp_tail",
+        lambda x, p, s, interpret=False: orig_tail(x, p, s, interpret=True),
+    )
     ka.set_enabled(True)
     try:
         out = csts_lib.csts_apply(params, spec, video, audio)
