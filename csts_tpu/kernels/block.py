@@ -63,6 +63,10 @@ def eligible(spec, mask, deterministic: bool) -> bool:
         and mask is None
         and deterministic  # inference-only: the recompute VJP loses to stored residuals
         and spec.dim % spec.num_heads == 0
+        # ≥4-head blocks lose to the composite (the per-head python loop serializes
+        # small matmuls; measured A/B at batch 32) — keep the kernel where it wins:
+        # the long-sequence 1-2-head stem/stage-1/audio blocks
+        and spec.num_heads <= 2
     )
 
 
