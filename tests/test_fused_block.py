@@ -32,7 +32,10 @@ def test_fused_block_matches_composite(rng, dim, dim_out, heads, l, thw, stride_
         kernel_q=(), kernel_kv=(3, 3, 3), stride_q=(), stride_kv=stride_kv,
         fused=True,
     )
-    assert kb.eligible(spec, None, True)
+    # dispatch eligibility caps at 2 heads (perf); the kernel itself is correct for
+    # any head count — assert eligibility only where the dispatch would use it
+    if heads <= 2:
+        assert kb.eligible(spec, None, True)
     params = make_block(jax.random.PRNGKey(0), spec)
     x = jnp.asarray(rng.standard_normal((2, l, dim)), jnp.float32)
 
