@@ -48,6 +48,9 @@ def main():
         cfg.MODEL.FUSED_ATTENTION = False
     spec = csts_lib.build_spec(cfg)
     params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
 
     @jax.jit
     def make_inputs(key):
