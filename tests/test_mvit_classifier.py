@@ -112,3 +112,23 @@ def test_classification_metrics(rng):
     cm = confusion_matrix(preds, labels, 4)
     assert cm.sum() == 6
     assert cm[1, 0] == 1  # the one mistake
+
+
+def test_visualization_smoke(tmp_path, rng):
+    from csts_tpu.eval import visualization as vis
+
+    video = rng.standard_normal((4, 32, 32, 3)).astype(np.float32) * 0.2
+    preds = rng.uniform(0, 1, (4, 8, 8)).astype(np.float32)
+    labels = rng.uniform(0, 1, (4, 8, 8)).astype(np.float32)
+    vis.vis_inference(str(tmp_path / "inf"), video, preds, labels)
+    import os
+
+    assert len(os.listdir(tmp_path / "inf")) == 4
+
+    attn = rng.uniform(0, 1, (2, 2 * 4 * 4 + 2, 2 * 4 * 4 + 2)).astype(np.float32)
+    vis.vis_spatial_attention(str(tmp_path / "sp"), video, attn, (2, 4, 4))
+    assert len(os.listdir(tmp_path / "sp")) == 4  # heads × T
+
+    tattn = rng.uniform(0, 1, (2, 8, 8)).astype(np.float32)
+    vis.vis_temporal_attention(str(tmp_path / "tmp"), tattn)
+    assert len(os.listdir(tmp_path / "tmp")) == 2
