@@ -248,3 +248,61 @@ def test_serving_predictor(synthetic_root, tmp_path):
     frames_u8 = rng.integers(0, 255, (8, 40, 56, 3), dtype=np.uint8)
     prepped = predictor.preprocess_frames(frames_u8)
     assert prepped.shape == (8, CROP, CROP, 3)
+
+
+def make_aria_synthetic(root):
+    """Aria layout: clips/<vid>/<clip>_t{s}_t{e-1}.mp4, 100 frames @20fps, audio under
+    clips.audio_24kHz_stft, labels <vid>.csv with 2-column offset."""
+    rng = np.random.default_rng(1)
+    prefix = os.path.join(root, "clips")
+    vid = "aria01"
+    os.makedirs(os.path.join(prefix, vid))
+    os.makedirs(os.path.join(root, "clips.audio_24kHz_stft", vid))
+    os.makedirs(os.path.join(root, "gaze_frame_label"), exist_ok=True)
+    os.makedirs(os.path.join(root, "splits"), exist_ok=True)
+
+    rel_paths = []
+    for c in range(2):
+        t0 = c * 2
+        clip = f"clip{c:02d}_t{t0}_t{t0 + 4}.mp4"
+        rel = f"{vid}/{clip}"
+        rel_paths.append(rel)
+        frames = rng.integers(0, 255, (100, 40, 56, 3), dtype=np.uint8)
+        np.save(os.path.join(prefix, rel + ".frames.npy"), frames)
+        with open(os.path.join(prefix, rel + ".meta.json"), "w") as f:
+            json.dump({"fps": 20, "duration_pts": 100 * 512}, f)
+        np.save(
+            os.path.join(root, "clips.audio_24kHz_stft", vid, clip.replace(".mp4", ".npy")),
+            rng.standard_normal((256, 1000)).astype(np.float32),
+        )
+    with open(os.path.join(root, "gaze_frame_label", f"{vid}.csv"), "w") as f:
+        f.write("frame,ts,x,y,type\n")  # aria label files have 2 leading columns
+        for i in range(300):
+            f.write(f"{i},{i/20:.3f},{rng.uniform(0.3,0.7):.4f},{rng.uniform(0.3,0.7):.4f},0\n")
+    for split in ("train_aria_gaze.csv", "test_aria_gaze.csv"):
+        with open(os.path.join(root, "splits", split), "w") as f:
+            f.write("\n".join(rel_paths) + "\n")
+
+
+def test_aria_forecast_dataset(tmp_path):
+    from csts_tpu.data.datasets import build_dataset
+
+    root = str(tmp_path / "aria")
+    os.makedirs(root)
+    make_aria_synthetic(root)
+    cfg = make_e2e_cfg(root, str(tmp_path / "out"))
+    cfg.DATA.PATH_PREFIX = os.path.join(root, "clips")
+    cfg.DATA.PATH_TO_DATA_DIR = os.path.join(root, "splits")
+    cfg.DATA.SAMPLING_RATE = 4
+    cfg.DATA.TARGET_FPS = 20
+    cfg.TEST.DATASET = "aria_av_gaze_forecast"
+
+    ds = build_dataset("aria_av_gaze_forecast", cfg, "test")
+    sample = ds.__getitem__(1, rng=np.random.default_rng(0))
+    assert sample["video"].shape == (8, CROP, CROP, 3)
+    # Aria protocol: observe 60/100, labels from frame 60 + SAMPLING_RATE (=64)
+    # (aria_avgaze_forecast.py:227-230); clip 1 starts at t2 -> +40 global frames
+    expected = np.linspace(64, 99, 8).astype(np.int64) + 2 * 20
+    np.testing.assert_array_equal(sample["meta"]["labels_index"], expected)
+    # observed window confined to the first 60 frames
+    assert sample["meta"]["index"].max() - 2 * 20 <= 59
