@@ -306,3 +306,79 @@ def test_aria_forecast_dataset(tmp_path):
     np.testing.assert_array_equal(sample["meta"]["labels_index"], expected)
     # observed window confined to the first 60 frames
     assert sample["meta"]["index"].max() - 2 * 20 <= 59
+
+
+def test_run_net_cli(synthetic_root, tmp_path):
+    """tools/run_net.py end to end: YAML + KEY VALUE overrides -> train 1 epoch +
+    test, via subprocess (the reference's CLI contract, run_net.py:11-25)."""
+    import subprocess
+    import sys
+
+    out_dir = str(tmp_path / "cli_out")
+    cfg_yaml = tmp_path / "tiny.yaml"
+    cfg_yaml.write_text(
+        f"""
+TRAIN:
+  ENABLE: True
+  DATASET: ego4d_av_gaze_forecast
+  BATCH_SIZE: 4
+  EVAL_PERIOD: 5
+  CHECKPOINT_PERIOD: 1
+DATA:
+  PATH_PREFIX: '{synthetic_root}/clips.gaze'
+  PATH_TO_DATA_DIR: '{synthetic_root}/splits'
+  TRAIN_CROP_SIZE: 32
+  TEST_CROP_SIZE: 32
+  TRAIN_JITTER_SCALES: [36, 40]
+  GAUSSIAN_KERNEL: 5
+  DECODING_BACKEND: npy
+  AUDIO_FREQ_BINS: 32
+  AUDIO_WINDOW: 32
+MVIT:
+  PATCH_PADDING: [1, 3, 3]
+  CLS_EMBED_ON: False
+  SEP_POS_EMBED: True
+  DEPTH: 4
+  EMBED_DIM: 16
+  DIM_MUL: [[1, 2.0], [2, 2.0], [3, 2.0]]
+  HEAD_MUL: [[1, 2.0], [2, 2.0], [3, 2.0]]
+  POOL_KVQ_KERNEL: [3, 3, 3]
+  POOL_KV_STRIDE_ADAPTIVE: [1, 8, 8]
+  POOL_Q_STRIDE: [[1, 1, 2, 2], [2, 1, 2, 2], [3, 1, 2, 2]]
+MODEL:
+  LOSS_FUNC: kldiv+egonce
+  LOSS_ALPHA: 0.05
+SOLVER:
+  BASE_LR: 0.001
+  COSINE_END_LR: 0.00001
+  MAX_EPOCH: 1
+  OPTIMIZING_METHOD: adamw
+  CLIP_GRAD_L2NORM: 1.0
+  ZERO_WD_1D_PARAM: True
+TEST:
+  ENABLE: True
+  DATASET: ego4d_av_gaze_forecast
+  BATCH_SIZE: 4
+  NUM_ENSEMBLE_VIEWS: 1
+  NUM_SPATIAL_CROPS: 1
+DATA_LOADER:
+  NUM_WORKERS: 2
+NUM_DEVICES: 1
+OUTPUT_DIR: {out_dir}
+LOG_PERIOD: 1
+"""
+    )
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    res = subprocess.run(
+        [sys.executable, "tools/run_net.py", "--cfg", str(cfg_yaml),
+         "RNG_SEED", "7"],
+        capture_output=True, text=True, cwd=repo, env=env, timeout=1200,
+    )
+    assert res.returncode == 0, res.stderr[-3000:]
+    log = res.stdout + res.stderr
+    assert "test_final" in log, log[-2000:]
+    from csts_tpu.utils import checkpoint as cu
+
+    assert cu.has_checkpoint(out_dir)
