@@ -179,15 +179,23 @@ class AVGazeDataset:
                 max_scale=self.cfg.DATA.TRAIN_JITTER_SCALES[1],
                 crop_size=self.cfg.DATA.TRAIN_CROP_SIZE,
             )
-        # val/test: deterministic right-most window, center crop (reference :160-169)
+        # val/test: deterministic window, center crop (reference :186-203). With
+        # NUM_ENSEMBLE_VIEWS > 1 the temporal view index spreads windows across the
+        # clip (reference: spatial_temporal_idx // NUM_SPATIAL_CROPS); single-view
+        # keeps the right-most window.
         spatial_idx = (
             self._spatial_temporal_idx[index] % self.cfg.TEST.NUM_SPATIAL_CROPS
             if self.cfg.TEST.NUM_SPATIAL_CROPS > 1
             else 1
         )
+        temporal_idx = (
+            self._spatial_temporal_idx[index] // self.cfg.TEST.NUM_SPATIAL_CROPS
+            if self.cfg.TEST.NUM_ENSEMBLE_VIEWS > 1
+            else 1
+        )
         size = self.cfg.DATA.TEST_CROP_SIZE
         return dict(
-            temporal_idx=1, spatial_idx=spatial_idx,
+            temporal_idx=temporal_idx, spatial_idx=spatial_idx,
             min_scale=size, max_scale=size, crop_size=size,
         )
 

@@ -43,11 +43,10 @@ def test(cfg: Config) -> dict:
         )
 
     test_loader = loader_lib.construct_loader(cfg, "test")
-    assert len(test_loader.dataset) % (
-        cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
-    ) == 0
+    num_views = cfg.TEST.NUM_ENSEMBLE_VIEWS * cfg.TEST.NUM_SPATIAL_CROPS
+    assert len(test_loader.dataset) % num_views == 0
     eval_step = step_lib.make_eval_step(cfg, spec)
-    meter = TestGazeMeter(cfg.TEST.DATASET)
+    meter = TestGazeMeter(cfg.TEST.DATASET, num_views=num_views)
 
     with jax.sharding.set_mesh(mesh):
         params = jax.device_put(params, mesh_lib.replicated(mesh))
@@ -67,7 +66,7 @@ def test(cfg: Config) -> dict:
             meter.iter_toc()
             meter.update_stats(
                 np.asarray(preds_rescaled), np.asarray(batch["labels_hm"]),
-                np.asarray(batch["labels"]),
+                np.asarray(batch["labels"]), indices=np.asarray(batch["index"]),
             )
             meter.log_iter_stats(cur_iter, cfg.LOG_PERIOD)
             meter.iter_tic()

@@ -63,10 +63,11 @@ def eligible(spec, mask, deterministic: bool) -> bool:
         and mask is None
         and deterministic  # inference-only: the recompute VJP loses to stored residuals
         and spec.dim % spec.num_heads == 0
-        # ≥4-head blocks lose to the composite (the per-head python loop serializes
-        # small matmuls; measured A/B at batch 32) — keep the kernel where it wins:
-        # the long-sequence 1-2-head stem/stage-1/audio blocks
-        and spec.num_heads <= 2
+        # Measured on-chip (tools/ab_block.py, batch 32 bf16, vs composite+fused
+        # attention+fused tail): 1-2 heads win 1.32-1.39x; 8-head dim-768 wins
+        # ~1.07x; but 4-head dim-384 L=1024 LOSES 2.6x (XLA pipelines the big
+        # batched matmuls better than the per-tile kernel there) — gate it out.
+        and (spec.num_heads <= 2 or spec.dim >= 768)
     )
 
 
@@ -256,6 +257,194 @@ def _fused_block_impl(x, k, v, p, spec, interpret: bool):
     return out[..., : spec.dim_out]
 
 
+# ----------------------------------------------------------------------------------
+# Head-grid block kernel: grid (batch, token-tile, head) with heads innermost.
+#
+# The round-1 kernel ran a per-head Python loop inside one grid step; at 4-8 heads
+# the concatenate of per-head outputs forced Mosaic relayouts and the loop kept the
+# whole K/V of every head resident. This variant exploits the algebra
+#     attn_out = bias + Σ_h softmax(q_h k_hᵀ) v_h @ W_proj[h]
+# — the output projection is a SUM over heads, so each head can be one grid step
+# that accumulates (TILE, C) into a VMEM scratch. LN1 runs once at h==0 (cached in
+# scratch); the residual + LN2 + MLP tail runs at the last head. Per-step VMEM holds
+# ONE head's K/V and weight slices (Mosaic double-buffers them across steps), which
+# is what lets the kernel reach the 8-head dim-768 blocks.
+# ----------------------------------------------------------------------------------
+
+
+def _block_hg_kernel(
+    x_ref, k_ref, v_ref,
+    ln1s_ref, ln1b_ref, wq_ref, bq_ref, wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    wres_ref, bres_ref,
+    out_ref,
+    xn_scr, acc_scr,
+    *, heads: int, c_real: int, scale: float, has_res_proj: bool,
+):
+    """One (batch, token-tile, head) grid step. Shapes (padded):
+    x (1, TILE, Cp) · k/v (1, 1, Lk, hd_p) · wq (1, Cp, hd_p) · bq (1, 1, hd_p) ·
+    wproj (1, hd_p, Cp) · wfc1 (Cp, HIDp) · wfc2 (HIDp, Cop) · out (1, TILE, Cop) ·
+    scratch xn (TILE, Cp) input-dtype, acc (TILE, Cp) fp32."""
+    f32 = jnp.float32
+    h = pl.program_id(2)
+
+    @pl.when(h == 0)
+    def _():
+        x = x_ref[0].astype(f32)
+        mean = jnp.sum(x, axis=-1, keepdims=True) / c_real
+        var = jnp.sum(jnp.square(x), axis=-1, keepdims=True) / c_real - jnp.square(mean)
+        xn = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+        xn = xn * ln1s_ref[:].astype(f32) + ln1b_ref[:].astype(f32)
+        xn_scr[:] = xn.astype(xn_scr.dtype)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    xn16 = xn_scr[:]
+    qh = jnp.dot(xn16, wq_ref[0], preferred_element_type=f32) + bq_ref[0].astype(f32)
+    logits = jax.lax.dot_general(
+        qh.astype(xn16.dtype), k_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=f32,
+    ) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    av = jnp.dot(p.astype(xn16.dtype), v_ref[0, 0], preferred_element_type=f32)
+    acc_scr[:] += jnp.dot(av.astype(xn16.dtype), wproj_ref[0], preferred_element_type=f32)
+
+    @pl.when(h == heads - 1)
+    def _():
+        res1 = x_ref[0].astype(f32) + acc_scr[:] + bproj_ref[:].astype(f32)
+        mean2 = jnp.sum(res1, axis=-1, keepdims=True) / c_real
+        var2 = jnp.sum(jnp.square(res1), axis=-1, keepdims=True) / c_real - jnp.square(mean2)
+        xn2 = (res1 - mean2) * jax.lax.rsqrt(var2 + 1e-6)
+        xn2 = xn2 * ln2s_ref[:].astype(f32) + ln2b_ref[:].astype(f32)
+        xn2_16 = xn2.astype(xn16.dtype)
+        hid = jnp.dot(xn2_16, wfc1_ref[:], preferred_element_type=f32) + bfc1_ref[:].astype(f32)
+        hid = 0.5 * hid * (1.0 + _erf(hid * np.float32(1.0 / np.sqrt(2.0))))
+        mlp = (
+            jnp.dot(hid.astype(xn16.dtype), wfc2_ref[:], preferred_element_type=f32)
+            + bfc2_ref[:].astype(f32)
+        )
+        if has_res_proj:
+            base = (
+                jnp.dot(xn2_16, wres_ref[:], preferred_element_type=f32)
+                + bres_ref[:].astype(f32)
+            )
+        else:
+            base = res1
+        out_ref[0] = (base + mlp).astype(out_ref.dtype)
+
+
+def _prep_operands_hg(p: dict, spec, k, v):
+    """Pad params/K/V to Mosaic-aligned, head-major layouts for the head-grid kernel."""
+    c = spec.dim
+    c_out = spec.dim_out
+    heads = spec.num_heads
+    hd = spec.head_dim
+    hidden = int(spec.dim * spec.mlp_ratio)
+
+    cp = _round_up(c, 128)
+    cop = _round_up(c_out, 128)
+    hd_p = _round_up(hd, 128)
+    hid_p = _round_up(hidden, 128)
+
+    dt = k.dtype
+    wqkv = p["attn"]["qkv"]["w"]
+    wq = wqkv[:, :c].reshape(c, heads, hd)
+    wq = jnp.pad(wq, [(0, cp - c), (0, 0), (0, hd_p - hd)]).transpose(1, 0, 2)  # (heads, Cp, hd_p)
+    bq_full = p["attn"]["qkv"].get("b")
+    bq = bq_full[:c].reshape(heads, hd) if bq_full is not None else jnp.zeros((heads, hd))
+    bq = jnp.pad(bq, [(0, 0), (0, hd_p - hd)]).reshape(heads, 1, hd_p)
+
+    wproj = p["attn"]["proj"]["w"].reshape(heads, hd, c)
+    wproj = jnp.pad(wproj, [(0, 0), (0, hd_p - hd), (0, cp - c)])  # (heads, hd_p, Cp)
+    bproj = jnp.pad(p["attn"]["proj"]["b"], (0, cp - c)).reshape(1, cp)
+
+    ln1s = jnp.pad(p["norm1"]["scale"], (0, cp - c)).reshape(1, cp)
+    ln1b = jnp.pad(p["norm1"]["bias"], (0, cp - c)).reshape(1, cp)
+    ln2s = jnp.pad(p["norm2"]["scale"], (0, cp - c)).reshape(1, cp)
+    ln2b = jnp.pad(p["norm2"]["bias"], (0, cp - c)).reshape(1, cp)
+
+    wfc1 = jnp.pad(p["mlp"]["fc1"]["w"], [(0, cp - c), (0, hid_p - hidden)])
+    bfc1 = jnp.pad(p["mlp"]["fc1"]["b"], (0, hid_p - hidden)).reshape(1, hid_p)
+    wfc2 = jnp.pad(p["mlp"]["fc2"]["w"], [(0, hid_p - hidden), (0, cop - c_out)])
+    bfc2 = jnp.pad(p["mlp"]["fc2"]["b"], (0, cop - c_out)).reshape(1, cop)
+
+    if c != c_out:
+        wres = jnp.pad(p["proj"]["w"], [(0, cp - c), (0, cop - c_out)])
+        bres = jnp.pad(p["proj"]["b"], (0, cop - c_out)).reshape(1, cop)
+        has_res = True
+    else:
+        wres = jnp.zeros((cp, cop), dt)
+        bres = jnp.zeros((1, cop), dt)
+        has_res = False
+
+    kp = _pad_last(k, hd_p)
+    vp = _pad_last(v, hd_p)
+
+    weights = [w.astype(dt) for w in (
+        ln1s, ln1b, wq, bq, wproj, bproj, ln2s, ln2b, wfc1, bfc1, wfc2, bfc2, wres, bres
+    )]
+    meta = dict(cp=cp, cop=cop, hd_p=hd_p, heads=heads, has_res=has_res)
+    return kp, vp, weights, meta
+
+
+def _fused_block_hg_impl(x, k, v, p, spec, interpret: bool):
+    b, l, c = x.shape
+    tile = _pick_tile(l)
+    if spec.dim > 384:
+        # VMEM: the fp32 MLP hidden tile (TILE, 4·dim) + resident fc weights
+        tile = min(tile, 256)
+        while l % tile:
+            tile //= 2
+    kp, vp, weights, meta = _prep_operands_hg(p, spec, k, v)
+    cp, cop, hd_p, heads = meta["cp"], meta["cop"], meta["hd_p"], meta["heads"]
+    lk = kp.shape[2]
+
+    xp = _pad_last(x, cp)
+
+    kernel = functools.partial(
+        _block_hg_kernel,
+        heads=heads, c_real=c, scale=float(spec.scale),
+        has_res_proj=meta["has_res"],
+    )
+
+    # index maps take the full (i, j, h) grid position
+    in_specs = [
+        pl.BlockSpec((1, tile, cp), lambda i, j, h: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, lk, hd_p), lambda i, j, h: (i, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, lk, hd_p), lambda i, j, h: (i, h, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    # weight specs: per-head slices for wq/bq/wproj, full residency for the rest
+    per_head = {2, 3, 4}  # indices into `weights` of wq, bq, wproj
+    for wi, w in enumerate(weights):
+        if wi in per_head:
+            blk = (1,) + w.shape[1:]
+            in_specs.append(
+                pl.BlockSpec(blk, lambda i, j, h, n=len(blk) - 1: (h,) + (0,) * n,
+                             memory_space=pltpu.VMEM)
+            )
+        else:
+            nd = w.ndim
+            in_specs.append(
+                pl.BlockSpec(w.shape, lambda i, j, h, nd=nd: (0,) * nd,
+                             memory_space=pltpu.VMEM)
+            )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, l // tile, heads),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, cop), lambda i, j, h: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, cop), x.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tile, cp), x.dtype),
+            pltpu.VMEM((tile, cp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xp, kp, vp, *weights)
+    return out[..., : spec.dim_out]
+
+
 def _composite_block(x, k, v, p, spec):
     """XLA reference path (used for the recompute backward); mirrors
     models/mvit.multiscale_block_apply for the eligible (identity-skip) case."""
@@ -275,16 +464,24 @@ def _composite_block(x, k, v, p, spec):
     return base + mlp
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fused_block(x, k, v, p, spec, interpret):
-    return _fused_block_impl(x, k, v, p, spec, interpret)
+def _dispatch_impl(x, k, v, p, spec, interpret, variant):
+    if variant == "loop" or (variant == "auto" and spec.num_heads <= 2):
+        # single-grid-step kernel with an unrolled head loop — wins at 1-2 heads
+        # where the loop is short and K/V residency is cheap (measured round 1)
+        return _fused_block_impl(x, k, v, p, spec, interpret)
+    return _fused_block_hg_impl(x, k, v, p, spec, interpret)
 
 
-def _fwd(x, k, v, p, spec, interpret):
-    return _fused_block_impl(x, k, v, p, spec, interpret), (x, k, v, p)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_block(x, k, v, p, spec, interpret, variant):
+    return _dispatch_impl(x, k, v, p, spec, interpret, variant)
 
 
-def _bwd(spec, interpret, residuals, g):
+def _fwd(x, k, v, p, spec, interpret, variant):
+    return _dispatch_impl(x, k, v, p, spec, interpret, variant), (x, k, v, p)
+
+
+def _bwd(spec, interpret, variant, residuals, g):
     x, k, v, p = residuals
     _, vjp = jax.vjp(lambda x_, k_, v_, p_: _composite_block(x_, k_, v_, p_, spec), x, k, v, p)
     return vjp(g)
@@ -293,12 +490,14 @@ def _bwd(spec, interpret, residuals, g):
 _fused_block.defvjp(_fwd, _bwd)
 
 
-def fused_block(x, k_pooled, v_pooled, params, spec, interpret: bool = False):
+def fused_block(x, k_pooled, v_pooled, params, spec, interpret: bool = False,
+                variant: str = "auto"):
     """Run an eligible block through the fused kernel.
 
     x: (B, L, C) tokens; k/v_pooled: (B, H, Lk, hd) already pooled+normed.
-    Returns (B, L, dim_out)."""
-    return _fused_block(x, k_pooled, v_pooled, params, spec, interpret)
+    ``variant``: "auto" (head-count dispatch), "loop" (single-step unrolled heads),
+    or "hg" (head-grid accumulation). Returns (B, L, dim_out)."""
+    return _fused_block(x, k_pooled, v_pooled, params, spec, interpret, variant)
 
 
 # ----------------------------------------------------------------------------------

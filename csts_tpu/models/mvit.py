@@ -451,7 +451,7 @@ def multiscale_block_apply(
         kb.eligible(spec, mask, deterministic)
         and ka.enabled()
         and not return_attn
-        and spec.dim <= 384  # VMEM budget for the resident weights
+        and spec.dim <= 768  # VMEM budget for the resident MLP weights
         and x.shape[1] % 128 == 0  # token tiles must align to sublane tiling
     ):
         k, v = _pooled_kv(p, spec, x, thw)

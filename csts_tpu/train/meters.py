@@ -217,10 +217,23 @@ class ValGazeMeter:
 class TestGazeMeter:
     """Whole-test-set metrics (meters.py:23-197) via the streaming accumulator —
     the reference concatenates every prediction on host (meters.py:133-136); this
-    keeps O(num_thresholds) state instead and adds AUC."""
+    keeps O(num_thresholds) state instead and adds AUC.
 
-    def __init__(self, dataset: str):
+    ``num_views`` > 1 enables multi-view ensembling (NUM_ENSEMBLE_VIEWS ×
+    NUM_SPATIAL_CROPS): the dataset expands each clip into ``num_views``
+    consecutive indices; predictions of one clip's views are averaged before
+    entering the global F1 — the ``video_preds`` ensemble semantics of the
+    reference's classification TestMeter (meters.py:96-146), which its gaze meter
+    allocates but never applies (meters.py:48-50 notes "=1 for gaze tasks").
+    Views are grouped by ``index // num_views``, so batch/host-stripe boundaries
+    and wrap-padded duplicate samples are handled; labels come from the first
+    view (views share labels for spatial crops / aligned uniform sampling)."""
+
+    def __init__(self, dataset: str, num_views: int = 1):
         self.stream = StreamingF1(dataset)
+        self.num_views = max(1, int(num_views))
+        self._pending: Dict[int, Dict[int, tuple]] = {}
+        self._done: set = set()
         self.iter_timer = Timer()
         self.data_timer = Timer()
         self.net_timer = Timer()
@@ -230,8 +243,33 @@ class TestGazeMeter:
     iter_toc = TrainGazeMeter.iter_toc
     data_toc = TrainGazeMeter.data_toc
 
-    def update_stats(self, preds, labels_hm, labels):
-        self.stream.update(preds, labels_hm, labels)
+    def update_stats(self, preds, labels_hm, labels, indices=None):
+        if self.num_views == 1 or indices is None:
+            self.stream.update(preds, labels_hm, labels)
+            return
+        preds = np.asarray(preds)
+        labels_hm = np.asarray(labels_hm)
+        labels = np.asarray(labels)
+        indices = np.asarray(indices)
+        for i in range(preds.shape[0]):
+            idx = int(indices[i])
+            cid, view = divmod(idx, self.num_views)
+            if cid in self._done:
+                continue  # wrap-padded duplicate of a finished clip
+            views = self._pending.setdefault(cid, {})
+            views[view] = (preds[i], labels_hm[i], labels[i])
+            if len(views) == self.num_views:
+                self._flush(cid)
+
+    def _flush(self, cid: int) -> None:
+        views = self._pending.pop(cid)
+        order = sorted(views)
+        pred = np.mean([views[v][0] for v in order], axis=0, dtype=np.float64)
+        _, labels_hm, labels = views[order[0]]
+        self._done.add(cid)
+        self.stream.update(
+            pred[None].astype(np.float32), labels_hm[None], labels[None]
+        )
 
     def log_iter_stats(self, cur_iter: int, log_period: int = 10):
         if (cur_iter + 1) % log_period != 0:
@@ -243,6 +281,9 @@ class TestGazeMeter:
         })
 
     def finalize_metrics(self) -> Dict:
+        # flush clips with missing views (partial final batch) un-padded
+        for cid in sorted(self._pending):
+            self._flush(cid)
         result = self.stream.finalize()
         self.stats = {"_type": "test_final", **result}
         log_json_stats(self.stats)

@@ -190,6 +190,31 @@ def test_train_and_test_end_to_end(synthetic_root, tmp_path):
     assert 0.0 <= stats["auc"] <= 1.0
 
 
+def test_two_view_test_pipeline(synthetic_root, tmp_path):
+    """NUM_ENSEMBLE_VIEWS=2: dataset expands views, tester ensembles per clip."""
+    from csts_tpu.data.datasets import build_dataset
+    from csts_tpu.eval.tester import test as run_test
+
+    out = str(tmp_path / "out2v")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    cfg.TEST.DATASET = "ego4d_av_gaze"
+    cfg.TEST.NUM_ENSEMBLE_VIEWS = 2
+    cfg.TRAIN.ENABLE = False
+
+    ds = build_dataset("ego4d_av_gaze", cfg, "test")
+    assert len(ds) == NUM_CLIPS * 2
+    # view 0 and view 1 of clip 0 are temporally distinct deterministic windows
+    s0 = ds.__getitem__(0, rng=np.random.default_rng(0))
+    s1 = ds.__getitem__(1, rng=np.random.default_rng(0))
+    assert not np.array_equal(s0["meta"]["index"], s1["meta"]["index"])
+
+    stats = run_test(cfg)
+    assert stats["_type"] == "test_final"
+    for k in ("f1", "recall", "precision", "auc"):
+        assert np.isfinite(stats[k]), stats
+
+
 def test_auto_resume(synthetic_root, tmp_path):
     from csts_tpu.models import csts as csts_lib
     from csts_tpu.train import step as step_lib

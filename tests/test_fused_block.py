@@ -22,19 +22,21 @@ CASES = [
     (192, 384, 2, 1024, (1, 32, 32), (1, 4, 4)),  # stage-1 transition-out
     (384, 384, 4, 256, (1, 16, 16), (1, 2, 2)),   # stage-2 workhorse
     (384, 768, 4, 256, (1, 16, 16), (1, 2, 2)),   # stage-2 -> stage-3 widening
+    (768, 768, 8, 256, (1, 16, 16), (1, 1, 1)),   # stage-3 workhorse
 ]
 
 
+@pytest.mark.parametrize("variant", ["loop", "hg"])
 @pytest.mark.parametrize("dim,dim_out,heads,l,thw,stride_kv", CASES)
-def test_fused_block_matches_composite(rng, dim, dim_out, heads, l, thw, stride_kv):
+def test_fused_block_matches_composite(rng, dim, dim_out, heads, l, thw, stride_kv, variant):
     spec = AttentionSpec(
         dim=dim, dim_out=dim_out, num_heads=heads,
         kernel_q=(), kernel_kv=(3, 3, 3), stride_q=(), stride_kv=stride_kv,
         fused=True,
     )
-    # dispatch eligibility caps at 2 heads (perf); the kernel itself is correct for
-    # any head count — assert eligibility only where the dispatch would use it
-    if heads <= 2:
+    # dispatch eligibility gates 4-head dim-384 out for perf (see eligible());
+    # the kernel itself is correct for any head count — test them all
+    if heads <= 2 or dim >= 768:
         assert kb.eligible(spec, None, True)
     params = make_block(jax.random.PRNGKey(0), spec)
     x = jnp.asarray(rng.standard_normal((2, l, dim)), jnp.float32)
@@ -44,7 +46,7 @@ def test_fused_block_matches_composite(rng, dim, dim_out, heads, l, thw, stride_
     ka.set_enabled(None)
 
     k, v = mvit._pooled_kv(params, spec, x, thw)
-    out = kb.fused_block(x, k, v, params, spec, interpret=True)
+    out = kb.fused_block(x, k, v, params, spec, interpret=True, variant=variant)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 

@@ -130,6 +130,49 @@ def test_streaming_f1_equals_global(rng):
     assert 0.0 <= result["auc"] <= 1.0
 
 
+def test_test_meter_multiview_ensemble(rng):
+    """TestGazeMeter(num_views=2): views of one clip are averaged before the global
+    F1 — across batch boundaries, out of order, and with wrap-padded duplicates."""
+    from csts_tpu.train.meters import TestGazeMeter
+
+    dataset = "ego4d_av_gaze"
+    n_clips, v, t, h, w = 4, 2, 4, 16, 16
+    b = n_clips * v
+    preds = rng.uniform(0, 1, (b, t, h, w)).astype(np.float32)
+    labels_hm = (rng.uniform(0, 1, (n_clips, t, h, w)) > 0.9).astype(np.float32) * 0.5
+    labels = np.zeros((n_clips, t, 3), np.float32)
+    labels[:, :, 2] = rng.integers(0, 2, (n_clips, t))
+    # views share labels (spatial-crop semantics)
+    labels_hm_v = np.repeat(labels_hm, v, axis=0)
+    labels_v = np.repeat(labels, v, axis=0)
+
+    # expected: mean over views, first view's labels
+    avg = preds.reshape(n_clips, v, t, h, w).mean(axis=1)
+    expect = m_tpu.StreamingF1(dataset)
+    expect.update(avg, labels_hm, labels)
+    expected = expect.finalize()
+
+    meter = TestGazeMeter(dataset, num_views=v)
+    # shuffled sample order + a duplicate (wrap-padding) of sample 0
+    order = list(rng.permutation(b)) + [0]
+    for lo in range(0, len(order), 3):  # batch size 3: groups straddle batches
+        idx = np.asarray(order[lo : lo + 3])
+        meter.update_stats(preds[idx], labels_hm_v[idx], labels_v[idx], indices=idx)
+    result = meter.finalize_metrics()
+
+    for k in ("f1", "recall", "precision", "auc"):
+        assert abs(result[k] - expected[k]) < 1e-5, (k, result, expected)
+
+    # single-view mode (indices given) must equal the plain stream
+    plain = m_tpu.StreamingF1(dataset)
+    plain.update(preds, labels_hm_v, labels_v)
+    m1 = TestGazeMeter(dataset, num_views=1)
+    m1.update_stats(preds, labels_hm_v, labels_v, indices=np.arange(b))
+    r1 = m1.finalize_metrics()
+    p1 = plain.finalize()
+    assert abs(r1["f1"] - p1["f1"]) < 1e-7
+
+
 def test_auc_perfect_and_chance(rng):
     # peak exactly at the positives -> AUC 1; uniform prediction -> ~0.5
     b, t, h, w = 1, 2, 16, 16
