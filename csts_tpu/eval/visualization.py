@@ -79,6 +79,68 @@ def vis_spatial_attention(
             )
 
 
+def vis_video(
+    out_dir: str,
+    all_frames: np.ndarray,  # (T_full, H, W, 3) uint8 RGB — the clip at full rate
+    frame_indices: np.ndarray,  # (T,) full-rate index of each model output step
+    preds: np.ndarray,  # (T, h, w) rescaled predictions
+    labels: Optional[np.ndarray] = None,  # (T, 3) normalized (x, y, type)
+    prefix: str = "hm",
+    crop_square: bool = True,
+    size: int = 256,
+) -> None:
+    """Full-frame-rate result dump for assembled videos (visualization.py:76-133).
+
+    Every full-rate frame between the first and last sampled step is overlaid
+    with the prediction of its NEAREST model step (the reference repeats each
+    heatmap over a hard-coded 9-frame stride at 30 fps / 5 at 20 fps; deriving
+    the assignment from ``frame_indices`` generalizes both and stays correct for
+    arbitrary SAMPLING_RATE). Frames are center-cropped square and resized, the
+    reference's cv2 layout. Writes ``<prefix>_<frame_idx>.png`` per frame."""
+    os.makedirs(out_dir, exist_ok=True)
+    frame_indices = np.asarray(frame_indices).astype(int)
+    lo, hi = int(frame_indices.min()), int(frame_indices.max())
+    hi = min(hi, all_frames.shape[0] - 1)
+    for j in range(lo, hi + 1):
+        step = int(np.argmin(np.abs(frame_indices - j)))
+        frame = all_frames[min(j, all_frames.shape[0] - 1)]
+        if crop_square:
+            h, w = frame.shape[:2]
+            if w > h:
+                frame = frame[:, (w - h) // 2 : (w - h) // 2 + h]
+            elif h > w:
+                frame = frame[(h - w) // 2 : (h - w) // 2 + w]
+        frame = cv2.resize(frame, (size, size))
+        frame = cv2.cvtColor(frame, cv2.COLOR_RGB2BGR)
+        vis = heatmap_overlay(frame, preds[step], alpha=0.4)
+        if labels is not None:
+            cv2.circle(
+                vis,
+                (int(labels[step, 0] * size), int(labels[step, 1] * size)),
+                5, (0, 255, 0), -1,
+            )
+        cv2.imwrite(os.path.join(out_dir, f"{prefix}_{j:05d}.png"), vis)
+
+
+def vis_video_forecasting(
+    out_dir: str,
+    all_frames: np.ndarray,  # (T_full, H, W, 3) uint8 RGB
+    label_indices: np.ndarray,  # (T,) FUTURE frame index of each forecast step
+    preds: np.ndarray,  # (T, h, w)
+    labels: Optional[np.ndarray] = None,
+    prefix: str = "hm",
+    size: int = 256,
+) -> None:
+    """Forecast result dump (visualization.py:136-169): predictions overlay the
+    FUTURE frames they anticipate — the per-step frame assignment comes from the
+    dataset's forecast label indices (meta["labels_index"]), replacing the
+    reference's hard-coded forecast_start_idx + num_repeat arithmetic."""
+    vis_video(
+        out_dir, all_frames, label_indices, preds, labels,
+        prefix=prefix, size=size,
+    )
+
+
 def vis_temporal_attention(out_dir: str, temporal_attn: np.ndarray) -> None:
     """Temporal attention matrix dump (visualization.py:214-228).
 

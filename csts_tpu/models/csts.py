@@ -397,21 +397,31 @@ def csts_apply(
     return_embed: bool = False,
     return_spatial_attn: bool = False,
     return_temporal_attn: bool = False,
+    capture: Optional[dict] = None,
 ):
     """Forward pass (custom_multimodal_builder.py:343-498).
 
     Args:
       video: (B, T, H, W, 3) channels-last frames (reference: (B, 3, T, H, W)).
       audio: (B, T, F, S, 1) log-STFT slices (reference: (B, 1, T, 256, 256)).
+      capture: optional dict filled with named intermediate activations (the
+        functional replacement for the reference's forward hooks — see
+        ``extract_activations``).
 
     Returns logits (B, T_out, H', W', 1), plus optional NCE embeddings / attention maps.
     """
+
+    def _cap(name, value):
+        if capture is not None:
+            capture[name] = value
     cdt = spec.compute_dtype
     video = video.astype(cdt)
     audio = audio.astype(cdt)
 
     x = _patch_embed(params["patch_embed"], spec, video)
     y = _patch_embed(params["patch_embed_audio"], spec, audio)
+    _cap("patch_embed", x)
+    _cap("patch_embed_audio", y)
     x = x + _pos_embed(params, spec, audio=False).astype(cdt)
     y = y + _pos_embed(params, spec, audio=True).astype(cdt)
 
@@ -445,12 +455,14 @@ def csts_apply(
             x, thw = _encoder_block(
                 params["blocks"][i], spec.video_blocks[i], x, thw, dp_keys[i]
             )
+            _cap(f"blocks/{i}", x)
         if gi < len(spec.video_groups) - 1:
             inter_feat.append((x, thw))
         for i in range(as_, ae):
             y, thw_audio = _encoder_block(
                 params["blocks_audio"][i], spec.audio_blocks[i], y, thw_audio, None
             )
+            _cap(f"blocks_audio/{i}", y)
 
     # ---------------- Spatial-temporal fusion (:413-462) ----------------
     b = x.shape[0]
@@ -476,6 +488,7 @@ def csts_apply(
         av_spatial, _ = sf_out
         spatial_attn = None
     n_video_tokens = x.shape[1]
+    _cap("spatial_fusion", av_spatial)
     x_spatial = av_spatial[:, :n_video_tokens]
 
     # Temporal branch (:434-452)
@@ -497,6 +510,7 @@ def csts_apply(
     else:
         av_temporal, _ = tf_out
         temporal_attn = None
+    _cap("temporal_fusion", av_temporal)
 
     # Reweight (:454-461): per-frame temporal weights scale spatially-fused tokens.
     x_weights = av_temporal[:, :t]  # (B, T, 768)
@@ -515,6 +529,7 @@ def csts_apply(
         )
         if i < len(spec.decoder_blocks) - 1:
             feat = feat + inter_feat[-(i + 1)][0]
+        _cap(f"decode_block{i+1}", feat)
 
     feat_grid = _tokens_to_grid(feat, thw)
     stem_feat, stem_thw = inter_feat[0]
@@ -537,3 +552,49 @@ def csts_apply(
     x_embed = ops.linear_apply(params["vision_proj"], jnp.mean(x_reweight, axis=1))
     y_embed = ops.linear_apply(params["audio_proj"], jnp.mean(y_reweight, axis=1))
     return logits, x_embed, y_embed
+
+
+# ----------------------------------------------------------------------------------
+# activation / weight extraction (functional replacement for torch forward hooks —
+# reference GetWeightAndActivation, visualization/utils.py:158-254)
+# ----------------------------------------------------------------------------------
+
+#: layer names `extract_activations` can capture (hierarchical, "/"-separated,
+#: mirroring the reference's "s1/pathway0_stem/conv" convention)
+CAPTURABLE = (
+    "patch_embed", "patch_embed_audio", "blocks/<i>", "blocks_audio/<i>",
+    "spatial_fusion", "temporal_fusion", "decode_block<1-4>",
+)
+
+
+def extract_activations(
+    params: dict,
+    spec: CSTSSpec,
+    video: jax.Array,
+    audio: jax.Array,
+    layers: Optional[Tuple[str, ...]] = None,
+):
+    """Run the forward and return ``(logits, {layer_name: activation})``.
+
+    Where the reference registers forward hooks on nn.Modules
+    (``GetWeightAndActivation._register_hooks``), the functional model records
+    named intermediates during one traced forward — same capability, one program,
+    jit-compatible. ``layers=None`` captures everything in :data:`CAPTURABLE`.
+    """
+    acts: dict = {}
+    logits = csts_apply(params, spec, video, audio, deterministic=True, capture=acts)
+    if layers is not None:
+        acts = {k: v for k, v in acts.items() if k in set(layers)}
+    return logits, acts
+
+
+def get_weights(params: dict, layers) -> dict:
+    """{layer_name: params subtree} by hierarchical "/" path into the param pytree
+    (reference get_weights, visualization/utils.py:238-254)."""
+    out = {}
+    for name in layers:
+        node = params
+        for part in name.split("/"):
+            node = node[int(part)] if isinstance(node, (list, tuple)) else node[part]
+        out[name] = node
+    return out

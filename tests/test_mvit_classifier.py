@@ -132,3 +132,79 @@ def test_visualization_smoke(tmp_path, rng):
     tattn = rng.uniform(0, 1, (2, 8, 8)).astype(np.float32)
     vis.vis_temporal_attention(str(tmp_path / "tmp"), tattn)
     assert len(os.listdir(tmp_path / "tmp")) == 2
+
+
+def test_vis_video_dumps(tmp_path, rng):
+    """vis_video / vis_video_forecasting: full-rate frame dumps with nearest-step
+    heatmap assignment (reference visualization.py:76-169)."""
+    import os
+
+    from csts_tpu.eval import visualization as vis
+
+    t_full, t_model = 40, 4
+    all_frames = rng.integers(0, 255, (t_full, 48, 64, 3), dtype=np.uint8)  # wide
+    preds = rng.uniform(0, 1, (t_model, 8, 8)).astype(np.float32)
+    labels = np.column_stack([
+        rng.uniform(0.2, 0.8, t_model), rng.uniform(0.2, 0.8, t_model),
+        np.zeros(t_model),
+    ]).astype(np.float32)
+
+    # estimation: steps sampled across the observed window
+    frame_idx = np.array([0, 12, 25, 38])
+    vis.vis_video(str(tmp_path / "est"), all_frames, frame_idx, preds, labels, size=64)
+    files = sorted(os.listdir(tmp_path / "est"))
+    assert len(files) == 39  # frames 0..38 inclusive
+    assert files[0] == "hm_00000.png" and files[-1] == "hm_00038.png"
+
+    # forecasting: steps map onto FUTURE frames (observed window 0..25)
+    label_idx = np.array([26, 30, 34, 38])
+    vis.vis_video_forecasting(
+        str(tmp_path / "fct"), all_frames, label_idx, preds, labels, size=64
+    )
+    files = sorted(os.listdir(tmp_path / "fct"))
+    assert len(files) == 13  # frames 26..38
+    assert files[0] == "hm_00026.png"
+
+
+def test_extract_activations_and_weights(rng):
+    """Functional hook replacement: named intermediates + weight path lookup."""
+    import jax
+    import jax.numpy as jnp
+
+    from csts_tpu.config import get_cfg
+    from csts_tpu.models import csts as csts_lib
+
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.AUDIO_FREQ_BINS = 32
+    cfg.DATA.AUDIO_WINDOW = 32
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MVIT.SEP_POS_EMBED = True
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 8, 8]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [2, 1, 2, 2], [3, 1, 2, 2]]
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+    video = jnp.asarray(rng.standard_normal((1, 8, 32, 32, 3)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((1, 8, 32, 32, 1)), jnp.float32)
+
+    logits, acts = jax.jit(
+        lambda p, v, a: csts_lib.extract_activations(
+            p, spec, v, a, layers=("blocks/2", "spatial_fusion", "decode_block4")
+        )
+    )(params, video, audio)
+    assert set(acts) == {"blocks/2", "spatial_fusion", "decode_block4"}
+    assert acts["blocks/2"].shape[0] == 1
+    # captured forward == plain forward
+    ref = csts_lib.csts_apply(params, spec, video, audio)
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref), atol=1e-6)
+
+    w = csts_lib.get_weights(params, ["blocks/2/attn/qkv/w", "decode_block4/norm2/scale"])
+    assert w["blocks/2/attn/qkv/w"].ndim == 2
+    assert w["decode_block4/norm2/scale"].ndim == 1

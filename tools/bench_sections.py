@@ -1,11 +1,16 @@
 #!/usr/bin/env python3
 """Per-section device timing of the flagship CSTS forward (dev tool).
 
-Times patch-embed, each encoder stage, the audio branch, fusion, and the decoder as
-separately jitted programs (batch 8, bf16), plus the full forward, using scalar-
-readback fencing. Run on the TPU host: ``python tools/bench_sections.py``.
+Times patch-embed, each encoder stage, the audio branch, the AV fusion section,
+the decoder, and the head as separately jitted programs, plus the full forward,
+using pipelined dispatch + scalar-readback fencing. Prints the section sum vs the
+full forward so unattributed time is visible.
+
+Usage: python tools/bench_sections.py [--batch 8] [--iters 10] [--no-fused]
+Run on the TPU host to natural exit; never kill (TPU claim wedges).
 """
 
+import argparse
 import os
 import sys
 import time
@@ -16,34 +21,37 @@ import jax
 import jax.numpy as jnp
 
 from __graft_entry__ import _flagship_cfg
+from csts_tpu import ops
 from csts_tpu.models import csts as csts_lib
 from csts_tpu.models import mvit
 
-BATCH = 8
-ITERS = 10
-
-
-def timed(name, fn, *args):
-    out = fn(*args)
-    jax.tree_util.tree_map(lambda a: float(jnp.sum(a.ravel()[0])), out)  # compile+settle
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        out = fn(*args)
-    leaves = jax.tree_util.tree_leaves(out)
-    float(jnp.sum(leaves[0].ravel()[0]))
-    dt = (time.perf_counter() - t0) / ITERS
-    print(f"{name:28s} {dt*1000:8.2f} ms")
-    return out
-
 
 def main():
-    cfg = _flagship_cfg()
-    cfg.TRAIN.MIXED_PRECISION = True
-    import argparse
-
     ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--no-fused", action="store_true")
     args = ap.parse_args()
+    BATCH, ITERS = args.batch, args.iters
+
+    total = {"t": 0.0}
+
+    def timed(name, fn, *fargs, count=True):
+        out = fn(*fargs)
+        jax.tree_util.tree_map(lambda a: float(jnp.sum(a.ravel()[0])), out)  # compile+settle
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            out = fn(*fargs)
+        leaves = jax.tree_util.tree_leaves(out)
+        float(jnp.sum(leaves[0].ravel()[0]))
+        dt = (time.perf_counter() - t0) / ITERS
+        if count:
+            total["t"] += dt
+        print(f"{name:34s} {dt*1000:8.2f} ms", flush=True)
+        return out
+
+    cfg = _flagship_cfg()
+    cfg.TRAIN.MIXED_PRECISION = True
     if args.no_fused:
         cfg.MODEL.FUSED_ATTENTION = False
     spec = csts_lib.build_spec(cfg)
@@ -66,17 +74,16 @@ def main():
     def full(params, video, audio):
         return csts_lib.csts_apply(params, spec, video, audio)
 
-    timed("full forward", full, params, video, audio)
+    timed(f"full forward (batch {BATCH})", full, params, video, audio, count=False)
 
     @jax.jit
     def stem(params, video):
-        return csts_lib._patch_embed(params["patch_embed"], spec, video)
+        x = csts_lib._patch_embed(params["patch_embed"], spec, video)
+        return x + csts_lib._pos_embed(params, spec, audio=False).astype(x.dtype)
 
-    x = timed("patch_embed (video)", stem, params, video)
+    x = timed("patch_embed+pos (video)", stem, params, video)
 
-    # encoder stages
     thw = spec.patch_dims
-    start = 0
     for si, (vs, ve) in enumerate(spec.video_groups):
         blocks = list(range(vs, ve))
         thw_in = thw
@@ -95,6 +102,7 @@ def main():
     @jax.jit
     def audio_branch(params, audio):
         y = csts_lib._patch_embed(params["patch_embed_audio"], spec, audio)
+        y = y + csts_lib._pos_embed(params, spec, audio=True).astype(y.dtype)
         t = spec.audio_patch_dims
         for i in range(4):
             y, t = mvit.multiscale_block_apply(
@@ -102,7 +110,38 @@ def main():
             )
         return y
 
-    y = timed("audio branch (4 blocks)", audio_branch, params, audio)
+    y = timed("audio branch (stem+4 blocks)", audio_branch, params, audio)
+
+    # ---- fusion section (spatial fusion w/ mask + attn extraction, temporal, reweight)
+    @jax.jit
+    def fusion(params, x, y):
+        b = x.shape[0]
+        t, fh, fw = spec.fusion_thw
+        td = spec.token_dim
+        y_grid = csts_lib._tokens_to_grid(y, spec.audio_fusion_thw)
+        y_spatial = ops.conv3d(params["audio_pool"], y_grid, (1, 1, 1), (0, 0, 0)).reshape(b, t, td)
+        av_spatial = jnp.concatenate([x, y_spatial], axis=1)
+        mask = jnp.asarray(mvit.build_inframe_mask(spec.fusion_thw, t))
+        av_spatial, _, spatial_attn = mvit.multiscale_block_apply(
+            params["spatial_fusion"], spec.spatial_fusion, av_spatial, spec.fusion_thw,
+            mask=mask, return_attn=True,
+        )
+        x_spatial = av_spatial[:, : x.shape[1]]
+        x_grid = csts_lib._tokens_to_grid(x, spec.fusion_thw)
+        audio_attn = mvit.extract_audio_attention(spatial_attn, spec.fusion_thw)
+        audio_attn = jnp.mean(audio_attn, axis=1)[..., None]
+        x_grid = x_grid * audio_attn.astype(x.dtype)
+        x_temporal = ops.conv3d(params["vision_pool"], x_grid, (1, 1, 1), (0, 0, 0)).reshape(b, t, td)
+        y_temporal = ops.conv3d(params["audio_pool2"], y_grid, (1, 1, 1), (0, 0, 0)).reshape(b, t, td)
+        av_temporal = jnp.concatenate([x_temporal, y_temporal], axis=1)
+        av_temporal, _ = mvit.multiscale_block_apply(
+            params["temporal_fusion"], spec.temporal_fusion, av_temporal, (2, 2, 2),
+        )
+        x_weights = av_temporal[:, :t]
+        x_reweight = csts_lib._tokens_to_grid(x_spatial, spec.fusion_thw) * x_weights[:, :, None, None, :]
+        return x_reweight.reshape(b, x.shape[1], td)
+
+    feat = timed("fusion (spatial+temporal+rw)", fusion, params, x, y)
 
     @jax.jit
     def decoder(params, feat):
@@ -113,9 +152,24 @@ def main():
             )
         return feat
 
-    feat = jnp.zeros((BATCH, spec.fusion_thw[0] * spec.fusion_thw[1] * spec.fusion_thw[2],
-                      spec.token_dim), jnp.bfloat16)
-    timed("decoder (4 blocks)", decoder, params, feat)
+    feat = timed("decoder (4 blocks, no skips)", decoder, params, feat)
+
+    @jax.jit
+    def head(params, feat, x_stem):
+        t, h, w = spec.patch_dims
+        thw_out = (t * 2, h, w)
+        feat_grid = csts_lib._tokens_to_grid(feat, thw_out)
+        stem_grid = csts_lib._tokens_to_grid(x_stem, spec.patch_dims)
+        stem_up = ops.trilinear_resize(stem_grid, thw_out)
+        return ops.conv3d(params["classifier"], feat_grid + stem_up, (1, 1, 1), (0, 0, 0))
+
+    feat_full = jnp.zeros(
+        (BATCH, spec.patch_dims[0] * 2 * spec.patch_dims[1] * spec.patch_dims[2],
+         spec.decoder_blocks[-1].dim_out), jnp.bfloat16,
+    )
+    timed("head (stem skip + classifier)", head, params, feat_full, x)
+
+    print(f"{'SUM of sections':34s} {total['t']*1000:8.2f} ms")
 
 
 if __name__ == "__main__":
