@@ -31,7 +31,8 @@ import numpy as np
 try:
     import av  # type: ignore
 
-    _HAS_PYAV = True
+    # reject stubbed/broken installs (e.g. the test oracle's module stub)
+    _HAS_PYAV = callable(getattr(av, "open", None))
 except ImportError:
     av = None
     _HAS_PYAV = False
@@ -136,7 +137,9 @@ class PyAVReader(VideoReader):
             else:
                 break
         ordered = [frames[p] for p in sorted(frames)]
-        idx = np.asarray([f.index for f in ordered])
+        # frame index from PTS (frame.index is deprecated in modern PyAV):
+        # pts = index · (duration_pts / num_frames) ⇒ index = round(pts / timebase)
+        idx = np.asarray([int(round(f.pts / timebase)) for f in ordered])
         arr = np.stack([f.to_rgb().to_ndarray() for f in ordered])
         return arr, idx
 
@@ -145,8 +148,10 @@ class PyAVReader(VideoReader):
 
 
 class FFmpegReader(VideoReader):
-    """ffmpeg-subprocess rawvideo reader (decodes the whole clip; fine for the 5 s
-    clips this framework targets)."""
+    """ffmpeg-subprocess rawvideo reader with accurate input seeking: only the
+    requested window is emitted (``-ss`` before ``-i`` + ``-frames:v``; ffmpeg's
+    default accurate_seek decodes from the preceding keyframe and discards up to
+    the exact start time)."""
 
     def __init__(self, path: str):
         assert _FFMPEG and _FFPROBE, "ffmpeg/ffprobe not available"
@@ -171,17 +176,21 @@ class FFmpegReader(VideoReader):
 
     def read_window(self, start_frame: int, end_frame: int) -> Tuple[np.ndarray, np.ndarray]:
         w, h = self._wh
+        start = max(int(start_frame), 0)
+        end = min(int(end_frame), self._meta.num_frames - 1)
+        n = end - start + 1
         proc = subprocess.run(
             [
-                _FFMPEG, "-v", "error", "-i", self._path,
+                _FFMPEG, "-v", "error",
+                "-ss", f"{start / self._meta.fps:.6f}", "-i", self._path,
+                "-frames:v", str(n),
                 "-f", "rawvideo", "-pix_fmt", "rgb24", "-",
             ],
             capture_output=True, check=True,
         )
         frames = np.frombuffer(proc.stdout, np.uint8).reshape(-1, h, w, 3)
-        start = max(int(start_frame), 0)
-        end = min(int(end_frame), frames.shape[0] - 1)
-        return frames[start : end + 1].copy(), np.arange(start, end + 1)
+        idx = np.arange(start, start + frames.shape[0])
+        return frames.copy(), idx
 
 
 def open_clip(path: str, backend: str = "auto", target_fps: float = 30.0) -> VideoReader:

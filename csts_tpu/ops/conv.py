@@ -111,6 +111,34 @@ def depthwise_conv3d(
     )
 
 
+def _transpose_phase_plan(k: int, s: int, p: int, op: int, l: int):
+    """Per-dim subpixel plan for one output phase set.
+
+    For out[s·m + r] = Σ_j w[s·j + r + p] · x[m − j] (the transposed-conv identity),
+    phase r is an ordinary correlation whose taps are the strided weight slice
+    ``w[s·j_max + r + p :: -s]``. Returns, per phase r: (tap start index, tap count,
+    pad_low, pad_high, phase length). None if the phases have unequal lengths
+    (odd output size — fall back to the general path)."""
+    l_out = (l - 1) * s - 2 * p + k + op
+    plans = []
+    lens = set()
+    for r in range(s):
+        js = [j for j in range(-k, k + 1) if 0 <= s * j + r + p < k]
+        if not js or js != list(range(js[0], js[-1] + 1)):
+            return None  # non-contiguous taps (never for k=3,s<=2) — fallback
+        j_min, j_max = js[0], js[-1]
+        l_r = (l_out - r + s - 1) // s
+        lens.add(l_r)
+        pad_low = j_max
+        pad_high = (l_r - 1 - j_min) - (l - 1)
+        if pad_low < 0 or pad_high < 0:
+            return None
+        plans.append((s * j_max + r + p, len(js), pad_low, pad_high, l_r))
+    if len(lens) != 1:
+        return None
+    return plans
+
+
 def depthwise_conv_transpose3d(
     w: jax.Array,
     x: jax.Array,
@@ -120,17 +148,55 @@ def depthwise_conv_transpose3d(
 ) -> jax.Array:
     """Depthwise transposed conv == torch ``nn.ConvTranspose3d(..., groups=C)``.
 
-    The reference's decoder Q-upsample (``attention.py:344-349``). Expressed the
-    TPU-native way: an lhs-dilated convolution with spatially flipped kernels —
-    ``out[(i)] = sum_k x_up[i+k'] * w_flip[k']`` where ``x_up`` is the input dilated by
-    ``stride`` and padded ``k-1-p`` low / ``k-1-p+output_padding`` high. This is exactly
-    the gradient-of-conv formulation XLA compiles to a single fused op.
+    The reference's decoder Q-upsample (``attention.py:344-349``). XLA's native
+    lowering (lhs-dilated conv over zero-stuffed input) wastes ~s³× of the work and
+    measured ~6 ms/block at the decoder's big stages — so for stride ≤ 2 this runs
+    the SUBPIXEL decomposition instead: each output parity phase
+    ``out[s·m + r] = Σ_j w[s·j + r + p] · x[m − j]`` is a small DENSE depthwise
+    correlation (kernel 1-3 taps per dim); phases are computed independently and
+    interleaved with a reshape (inverse pixel-shuffle). Same math, no zero
+    multiplies, conv shapes XLA tiles well.
 
-    ``w``: (kT, kH, kW, 1, C), stored in natural DHWIO order; the spatial flip happens
-    here so the torch→jax converter stays a pure transpose.
+    ``w``: (kT, kH, kW, 1, C), natural DHWIO order (the flip for the general path
+    happens here so the torch→jax converter stays a pure transpose).
     """
     c = x.shape[-1]
-    k = w.shape[:3]
+    k = tuple(int(d) for d in w.shape[:3])
+    stride = tuple(int(s) for s in stride)
+    padding = tuple(int(p) for p in padding)
+    output_padding = tuple(int(o) for o in output_padding)
+
+    plans = [
+        _transpose_phase_plan(k[d], stride[d], padding[d], output_padding[d], x.shape[1 + d])
+        for d in range(3)
+    ]
+    if all(pl is not None for pl in plans) and max(stride) <= 2:
+        phases = []
+        for rt in range(stride[0]):
+            for rh in range(stride[1]):
+                for rw in range(stride[2]):
+                    sel = (plans[0][rt], plans[1][rh], plans[2][rw])
+                    wk = w
+                    for d, (start, count, _, _, _) in enumerate(sel):
+                        idx = [start - stride[d] * a for a in range(count)]
+                        wk = jnp.take(wk, jnp.asarray(idx), axis=d)
+                    pad = [(pl[2], pl[3]) for pl in sel]
+                    phases.append(
+                        lax.conv_general_dilated(
+                            x, wk.astype(x.dtype), window_strides=(1, 1, 1),
+                            padding=pad, dimension_numbers=_DIMSPEC,
+                            feature_group_count=c, precision=_precision(x.dtype),
+                        )
+                    )
+        b = x.shape[0]
+        t0, h0, w0 = (pl[0][4] for pl in plans)
+        st, sh, sw = stride
+        out = jnp.stack(phases)  # (st·sh·sw, B, T0, H0, W0, C)
+        out = out.reshape(st, sh, sw, b, t0, h0, w0, c)
+        out = out.transpose(3, 4, 0, 5, 1, 6, 2, 7)  # (B, T0, st, H0, sh, W0, sw, C)
+        return out.reshape(b, t0 * st, h0 * sh, w0 * sw, c)
+
+    # general fallback: gradient-of-conv formulation (lhs dilation + flipped kernel)
     pad = [
         (int(k[d] - 1 - padding[d]), int(k[d] - 1 - padding[d] + output_padding[d]))
         for d in range(3)

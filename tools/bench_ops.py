@@ -29,23 +29,28 @@ from csts_tpu.models import mvit
 
 
 def bench(name, fn, args, iters, reps, warmup=2):
-    def looped(*xs):
+    """args[0] is replicated into `reps` DISTINCT random-ish inputs (leading axis)
+    so XLA cannot CSE the repetitions — a scalar-multiply perturbation is NOT
+    enough (it commutes through linear ops and LayerNorm is scale-invariant,
+    which silently collapses all reps into one; measured 10x under-report)."""
+    x0, rest = args[0], args[1:]
+    key = jax.random.PRNGKey(42)
+    noise = jax.random.normal(key, (reps,) + x0.shape, x0.dtype)
+    xs = x0[None] + noise
+
+    def looped(xs, *rest):
         acc = jnp.zeros((), jnp.float32)
         for i in range(reps):
-            scaled = [
-                x * (1 + 1e-6 * i) if isinstance(x, jax.Array) and x.dtype == jnp.bfloat16 else x
-                for x in xs
-            ]
-            acc = acc + jnp.sum(fn(*scaled)).astype(jnp.float32)
+            acc = acc + jnp.sum(fn(xs[i], *rest)).astype(jnp.float32)
         return acc
 
     jitted = jax.jit(looped)
     for _ in range(warmup):
-        float(jitted(*args))
+        float(jitted(xs, *rest))
     t0 = time.perf_counter()
     out = None
     for _ in range(iters):
-        out = jitted(*args)
+        out = jitted(xs, *rest)
     float(out)
     dt = (time.perf_counter() - t0) / (iters * reps)
     print(f"{name:44s} {dt*1000:8.3f} ms", flush=True)
@@ -177,6 +182,53 @@ def main():
               lambda x, params=params, spec=spec, thw=thw:
                   mvit.multiscale_block_apply(params, spec, x, thw)[0],
               (x,), a.iters, a.reps)
+
+    # ---- decoder sub-ops: where does a decode block's time go? ----
+    from csts_tpu.kernels import attention as ka
+    from csts_tpu.kernels import block as kblock
+
+    for tag, dim, heads, thw in [("d3", 384, 4, (4, 32, 32)), ("d4", 192, 2, (4, 64, 64))]:
+        l = thw[0] * thw[1] * thw[2]
+        sq = (2, 1, 1) if tag == "d4" else (1, 2, 2)
+        lq = l * 2 if tag == "d4" else l * 4
+        thw_q = (thw[0] * sq[0], thw[1] * sq[1], thw[2] * sq[2])
+        hd = dim // heads
+        x = rnd((B, l, dim))
+        norm = {k2: jnp.ones((dim,), dt) for k2 in ("scale", "bias")}
+        bench(f"{tag} ln1+qkv (L{l},d{dim})",
+              lambda x, w: jnp.einsum("blc,cd->bld", ops.layer_norm(norm, x), w),
+              (x, rnd((dim, 3 * dim))), a.iters, a.reps)
+        xh = rnd((B, heads, l, hd))
+        wdw = rnd((3, 3, 3, 1, hd))
+        nrm = {k2: jnp.ones((hd,), dt) for k2 in ("scale", "bias")}
+        outpad = tuple(0 if s == 1 else s - 1 for s in sq)
+        bench(f"{tag} q upsample conv (L{l}->{lq})",
+              lambda xh, w: mvit.upsample_heads_conv(xh, w, nrm, thw, sq, (1, 1, 1), outpad)[0],
+              (xh, wdw), a.iters, a.reps)
+        skv = {"d3": (1, 8, 8), "d4": (1, 16, 16)}[tag]
+        bench(f"{tag} kv pool conv  (L{l}->64)",
+              lambda xh, w: mvit.pool_heads_conv(xh, w, nrm, thw, skv, (1, 1, 1))[0],
+              (xh, wdw), a.iters, a.reps)
+        q = rnd((B, heads, lq, hd))
+        kv = rnd((B, heads, 64, hd))
+        bench(f"{tag} attention core (Lq{lq},Lk64)",
+              lambda q, kv: ka.fused_attention(q, kv, kv, hd ** -0.5),
+              (q, kv), a.iters, a.reps)
+        xq = rnd((B, lq, dim))
+        bench(f"{tag} out proj (L{lq},d{dim})",
+              lambda xq, w: jnp.einsum("blc,cd->bld", xq, w),
+              (xq, rnd((dim, dim))), a.iters, a.reps)
+        xg = rnd((B, *thw, dim))
+        bench(f"{tag} trilinear skip",
+              lambda xg: ops.trilinear_resize(xg, thw_q), (xg,), a.iters, a.reps)
+        from csts_tpu.models.mvit import AttentionSpec as AS
+        tspec = AS(dim=dim, dim_out=dim // 2, num_heads=heads, kernel_q=(3, 3, 3),
+                   kernel_kv=(3, 3, 3), stride_q=sq, stride_kv=skv,
+                   upsample_q=True, fused=True)
+        tparams = mvit.multiscale_block_init(jax.random.PRNGKey(2), tspec)
+        tparams = jax.tree_util.tree_map(lambda p: p.astype(dt), tparams)
+        bench(f"{tag} fused mlp tail (L{lq},d{dim})",
+              lambda xq: kblock.fused_mlp_tail(xq, tparams, tspec), (xq,), a.iters, a.reps)
 
 
 if __name__ == "__main__":

@@ -82,6 +82,7 @@ def main():
         return x + csts_lib._pos_embed(params, spec, audio=False).astype(x.dtype)
 
     x = timed("patch_embed+pos (video)", stem, params, video)
+    x_stem = x
 
     thw = spec.patch_dims
     for si, (vs, ve) in enumerate(spec.video_groups):
@@ -167,7 +168,7 @@ def main():
         (BATCH, spec.patch_dims[0] * 2 * spec.patch_dims[1] * spec.patch_dims[2],
          spec.decoder_blocks[-1].dim_out), jnp.bfloat16,
     )
-    timed("head (stem skip + classifier)", head, params, feat_full, x)
+    timed("head (stem skip + classifier)", head, params, feat_full, x_stem)
 
     print(f"{'SUM of sections':34s} {total['t']*1000:8.2f} ms")
 
