@@ -50,6 +50,20 @@ def set_enabled(value: Optional[bool]) -> None:
     _ENABLED = value
 
 
+# Whether the fused attention kernel also runs inside TRAINING forwards (its VJP
+# recomputes through the composite). Measured per-variant in tools/ab_train.py.
+_TRAIN_ATTN: bool = True
+
+
+def train_attention_enabled() -> bool:
+    return _TRAIN_ATTN
+
+
+def set_train_attention(value: bool) -> None:
+    global _TRAIN_ATTN
+    _TRAIN_ATTN = value
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float, with_mask: bool):
     """One (batch·head, q-tile) grid step.
 

@@ -399,6 +399,48 @@ def _pooled_kv(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
     return k, v
 
 
+def _upsampled_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
+    """Phase 1 for the fused decoder kernel (kernels/block.py): LN1 + the Q slice of
+    the fused qkv projection + the subpixel transposed-conv upsample
+    (attention.py:251-289), emitted in TOKEN-major layout with each head padded into
+    its own 128-lane channel slot (pads zero — the conv's padded weight lanes are
+    zero). The pool-norm LayerNorm runs inside the kernel, so the conv output goes to
+    HBM exactly once and is never relaid out head-major."""
+    xn = ops.layer_norm(p["norm1"], x)
+    wq = {"w": p["attn"]["qkv"]["w"][:, : spec.dim]}
+    if "b" in p["attn"]["qkv"]:
+        wq["b"] = p["attn"]["qkv"]["b"][: spec.dim]
+    q = ops.linear_apply(wq, xn)  # (B, L, C) at coarse resolution
+    b, l, _ = q.shape
+    hd, heads = spec.head_dim, spec.num_heads
+    hd_p = (hd + 127) // 128 * 128
+    q = q.reshape(b, l, heads, hd)
+    q = jnp.pad(q, [(0, 0), (0, 0), (0, 0), (0, hd_p - hd)])
+    t, h, w = thw
+    grid = q.reshape(b, t, h, w, heads * hd_p)
+    wconv = jnp.pad(p["attn"]["pool_q"], [(0, 0)] * 4 + [(0, hd_p - hd)])
+    wconv = jnp.tile(wconv, (1, 1, 1, 1, heads)) if heads > 1 else wconv
+    up = ops.depthwise_conv_transpose3d(
+        wconv.astype(grid.dtype), grid, spec.stride_q, spec.padding_q,
+        spec.output_padding_q,
+    )
+    t2, h2, w2 = up.shape[1:4]
+    return up.reshape(b, t2 * h2 * w2, heads * hd_p), (t2, h2, w2)
+
+
+def _static_pool_out(thw: THW, kernel, stride, padding) -> THW:
+    return tuple(
+        (d + 2 * p - k) // s + 1 for d, k, s, p in zip(thw, kernel, stride, padding)
+    )
+
+
+def _static_upsample_out(thw: THW, kernel, stride, padding, output_padding) -> THW:
+    return tuple(
+        (d - 1) * s - 2 * p + k + op
+        for d, k, s, p, op in zip(thw, kernel, stride, padding, output_padding)
+    )
+
+
 # ----------------------------------------------------------------------------------
 # MultiScaleBlock (encoder & decoder share this skeleton) — attention.py:165-248,395-479
 # ----------------------------------------------------------------------------------
@@ -458,8 +500,45 @@ def multiscale_block_apply(
         out = kb.fused_block(x, k, v, p, spec)
         return out, thw
 
+    # decoder (upsample-Q) blocks: one subpixel-conv write + one trilinear write in
+    # XLA, everything else (q-norm, 64-token attention, proj, residual, MLP tail)
+    # fused per fine-token tile
+    if (
+        spec.upsample_q
+        and "pool_q" in p["attn"]
+        and ka.enabled()
+        and not return_attn
+        and reverse_split is None
+    ):
+        thw_f = _static_upsample_out(
+            thw, spec.kernel_q, spec.stride_q, spec.padding_q, spec.output_padding_q
+        )
+        lk_thw = (
+            _static_pool_out(thw, spec.kernel_kv, spec.stride_kv, spec.padding_kv)
+            if spec.pool_kv_on
+            else thw
+        )
+        l_fine = thw_f[0] * thw_f[1] * thw_f[2]
+        lk = lk_thw[0] * lk_thw[1] * lk_thw[2]
+        if kb.decoder_eligible(spec, mask, deterministic, l_fine, lk):
+            k, v = _pooled_kv(p, spec, x, thw)
+            q_fine, thw_q = _upsampled_q_slots(p, spec, x, thw)
+            if spec.skip_upsample_on:
+                skip, _ = upsample_tokens_trilinear(x, thw, spec.stride_q)
+            else:
+                skip = x
+            out = kb.fused_decoder_block(q_fine, skip, k, v, p, spec)
+            return out, thw_q
+
+    # during training the attention kernel's VJP recomputes through the composite;
+    # whether that wins is measured (tools/ab_train.py) and gated here
+    attn_spec = spec
+    if not deterministic and spec.fused and not ka.train_attention_enabled():
+        import dataclasses as _dc
+
+        attn_spec = _dc.replace(spec, fused=False)
     attn_out = multiscale_attention_apply(
-        p["attn"], spec, ops.layer_norm(p["norm1"], x), thw,
+        p["attn"], attn_spec, ops.layer_norm(p["norm1"], x), thw,
         mask=mask, return_attn=return_attn, reverse_split=reverse_split,
     )
     if return_attn:
@@ -493,6 +572,25 @@ def multiscale_block_apply(
         and mask is None
     ):
         x = kb.fused_mlp_tail(x, p, spec)
+        if return_attn:
+            return x, thw_new, attn
+        return x, thw_new
+
+    # training: same fusion with a stored-residual VJP; stochastic depth folds into
+    # the kernel as a per-sample multiplier on the MLP branch
+    if (
+        not deterministic
+        and kb.tail_train_eligible(spec, x.shape[1])
+        and ka.enabled()
+        and mask is None
+    ):
+        bsz = x.shape[0]
+        if spec.drop_path > 0.0 and k2 is not None:
+            keep = 1.0 - spec.drop_path
+            dp_mask = jax.random.bernoulli(k2, keep, (bsz,)).astype(jnp.float32) / keep
+        else:
+            dp_mask = jnp.ones((bsz,), jnp.float32)
+        x = kb.fused_mlp_tail_train(x, p, spec, dp_mask)
         if return_attn:
             return x, thw_new, attn
         return x, thw_new

@@ -20,6 +20,7 @@ Numerical-parity notes (validated against torch CPU in tests/test_ops_parity.py)
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -85,6 +86,55 @@ def conv3d(
     return out
 
 
+def _stencil_dispatch(w, x, stride, padding, transpose: bool, output_padding=None):
+    """Route a depthwise conv to the Pallas stencil kernel when profitable.
+
+    XLA's depthwise (feature_group_count == C) 3-D conv lowering measured 4-25x
+    slower than bandwidth on TPU (tools/bench_ops.py round 2); the stencil kernel
+    (kernels/stencil.py) does one HBM read + one write. Channels are lane-padded
+    with zero weights when C % 128 != 0. Returns None when ineligible."""
+    from csts_tpu.kernels import attention as ka
+    from csts_tpu.kernels import stencil
+
+    if not ka.enabled():
+        return None
+    if not stencil._supported(w.shape[:3], stride, padding, transpose):
+        return None
+    b, t, h, w_dim, c = x.shape
+    if not transpose and (h % stride[1] or w_dim % stride[2]):
+        return None
+    cp = (c + 127) // 128 * 128
+    xk, wk = x, w
+    if cp != c:
+        xk = jnp.pad(x, [(0, 0)] * 4 + [(0, cp - c)])
+        wk = jnp.pad(w, [(0, 0)] * 4 + [(0, cp - c)])
+    if transpose:
+        out = stencil.depthwise_transpose3d(wk, xk, stride, padding, output_padding)
+    else:
+        out = stencil.depthwise_pool3d(wk, xk, stride, padding)
+    return out[..., :c] if cp != c else out
+
+
+def _depthwise_conv3d_xla(
+    w: jax.Array,
+    x: jax.Array,
+    stride: Sequence[int],
+    padding: Sequence[int],
+) -> jax.Array:
+    c = x.shape[-1]
+    pad = [(int(p), int(p)) for p in padding]
+    return lax.conv_general_dilated(
+        x,
+        w.astype(x.dtype),
+        window_strides=tuple(int(s) for s in stride),
+        padding=pad,
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=c,
+        precision=_precision(x.dtype),
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def depthwise_conv3d(
     w: jax.Array,
     x: jax.Array,
@@ -97,18 +147,27 @@ def depthwise_conv3d(
     ``nn.Conv3d(head_dim, head_dim, groups=head_dim, bias=False)`` in
     ``attention.py:104-116`` — callers tile the per-head weight across heads so all
     heads run as one fused depthwise conv instead of a B*heads batched loop.
+    On TPU, eligible shapes run the Pallas stencil kernel instead of XLA's grouped
+    conv (see _stencil_dispatch); the backward differentiates the XLA formulation
+    (identical to pre-kernel training behavior).
     """
-    c = x.shape[-1]
-    pad = [(int(p), int(p)) for p in padding]
-    return lax.conv_general_dilated(
-        x,
-        w.astype(x.dtype),
-        window_strides=tuple(int(s) for s in stride),
-        padding=pad,
-        dimension_numbers=_DIMSPEC,
-        feature_group_count=c,
-        precision=_precision(x.dtype),
-    )
+    out = _stencil_dispatch(w, x, stride, padding, transpose=False)
+    if out is not None:
+        return out
+    return _depthwise_conv3d_xla(w, x, stride, padding)
+
+
+def _dwc_fwd(w, x, stride, padding):
+    return depthwise_conv3d(w, x, stride, padding), (w, x)
+
+
+def _dwc_bwd(stride, padding, residuals, g):
+    w, x = residuals
+    _, vjp = jax.vjp(lambda w_, x_: _depthwise_conv3d_xla(w_, x_, stride, padding), w, x)
+    return vjp(g)
+
+
+depthwise_conv3d.defvjp(_dwc_fwd, _dwc_bwd)
 
 
 def _transpose_phase_plan(k: int, s: int, p: int, op: int, l: int):
@@ -139,7 +198,7 @@ def _transpose_phase_plan(k: int, s: int, p: int, op: int, l: int):
     return plans
 
 
-def depthwise_conv_transpose3d(
+def _depthwise_conv_transpose3d_xla(
     w: jax.Array,
     x: jax.Array,
     stride: Sequence[int],
@@ -212,6 +271,49 @@ def depthwise_conv_transpose3d(
         feature_group_count=c,
         precision=_precision(x.dtype),
     )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def depthwise_conv_transpose3d(
+    w: jax.Array,
+    x: jax.Array,
+    stride: Sequence[int],
+    padding: Sequence[int],
+    output_padding: Sequence[int],
+) -> jax.Array:
+    """Depthwise transposed conv (see _depthwise_conv_transpose3d_xla for the math).
+
+    On TPU, eligible shapes (k=3, p=1, s≤2, op=s−1) run the Pallas stencil kernel —
+    XLA's depthwise lowering measured 24-28 ms where ~1 ms of bandwidth is needed
+    (the decoder q-upsamples, tools/bench_ops.py). Backward differentiates the XLA
+    formulation."""
+    if tuple(int(o) for o in output_padding) == tuple(
+        0 if int(s) == 1 else int(s) - 1 for s in stride
+    ):
+        out = _stencil_dispatch(
+            w, x, stride, padding, transpose=True, output_padding=output_padding
+        )
+        if out is not None:
+            return out
+    return _depthwise_conv_transpose3d_xla(w, x, stride, padding, output_padding)
+
+
+def _dwt_fwd(w, x, stride, padding, output_padding):
+    return depthwise_conv_transpose3d(w, x, stride, padding, output_padding), (w, x)
+
+
+def _dwt_bwd(stride, padding, output_padding, residuals, g):
+    w, x = residuals
+    _, vjp = jax.vjp(
+        lambda w_, x_: _depthwise_conv_transpose3d_xla(
+            w_, x_, stride, padding, output_padding
+        ),
+        w, x,
+    )
+    return vjp(g)
+
+
+depthwise_conv_transpose3d.defvjp(_dwt_fwd, _dwt_bwd)
 
 
 def max_pool3d(

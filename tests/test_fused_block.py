@@ -168,6 +168,160 @@ def test_mlp_tail_matches_composite(rng, dim, dim_out, upsample):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
 
 
+DEC_CASES = [
+    # (dim, dim_out, heads, thw, stride_q, stride_kv) — decoder blocks d1/d2 at
+    # flagship geometry and a temporal-upsample (d4-style) case at reduced grid
+    (768, 768, 8, (4, 8, 8), (1, 2, 2), (1, 2, 2)),
+    (768, 384, 4, (4, 16, 16), (1, 2, 2), (1, 4, 4)),
+    (192, 96, 2, (4, 8, 8), (2, 1, 1), (1, 4, 4)),
+]
+
+
+@pytest.mark.parametrize("dim,dim_out,heads,thw,sq,skv", DEC_CASES)
+def test_fused_decoder_block_matches_composite(rng, dim, dim_out, heads, thw, sq, skv):
+    spec = AttentionSpec(
+        dim=dim, dim_out=dim_out, num_heads=heads,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3), stride_q=sq, stride_kv=skv,
+        upsample_q=True, fused=True,
+    )
+    params = make_block(jax.random.PRNGKey(7), spec)
+    l = thw[0] * thw[1] * thw[2]
+    x = jnp.asarray(rng.standard_normal((2, l, dim)) * 0.5, jnp.float32)
+
+    ka.set_enabled(False)
+    ref, ref_thw = mvit.multiscale_block_apply(params, spec, x, thw)
+    ka.set_enabled(None)
+
+    k, v = mvit._pooled_kv(params, spec, x, thw)
+    q_fine, thw_q = mvit._upsampled_q_slots(params, spec, x, thw)
+    assert thw_q == ref_thw
+    skip, _ = mvit.upsample_tokens_trilinear(x, thw, sq)
+    lf = thw_q[0] * thw_q[1] * thw_q[2]
+    assert kb.decoder_eligible(spec, None, True, lf, k.shape[2])
+    out = kb.fused_decoder_block(q_fine, skip, k, v, params, spec, interpret=True)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def _composite_tail_train(x, p, spec, dp_mask):
+    """Reference semantics for the training tail: proj residual unmasked, MLP branch
+    scaled by the per-sample stochastic-depth multiplier (mvit.py composite path)."""
+    from csts_tpu import ops
+
+    xn2 = ops.layer_norm(p["norm2"], x)
+    mlp = ops.mlp_apply(p["mlp"], xn2)
+    base = ops.linear_apply(p["proj"], xn2) if spec.dim != spec.dim_out else x
+    return base + dp_mask[:, None, None].astype(x.dtype) * mlp
+
+
+@pytest.mark.parametrize("dim,dim_out,upsample", [(96, 96, False), (96, 192, False), (384, 192, True)])
+def test_mlp_tail_train_forward(rng, dim, dim_out, upsample):
+    spec = AttentionSpec(
+        dim=dim, dim_out=dim_out, num_heads=1,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
+        stride_q=(1, 2, 2), stride_kv=(1, 2, 2),
+        upsample_q=upsample, fused=True, drop_path=0.1,
+    )
+    params = make_block(jax.random.PRNGKey(5), spec)
+    x = jnp.asarray(rng.standard_normal((3, 256, dim)), jnp.float32)
+    dp_mask = jnp.asarray([0.0, 1.0 / 0.9, 1.0 / 0.9], jnp.float32)  # one dropped sample
+    ref = _composite_tail_train(x, params, spec, dp_mask)
+    out = kb.fused_mlp_tail_train(x, params, spec, dp_mask, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("dim,dim_out", [(96, 96), (96, 192)])
+def test_mlp_tail_train_gradients(rng, dim, dim_out):
+    """Stored-residual VJP == autodiff of the composite, for x AND every param."""
+    spec = AttentionSpec(
+        dim=dim, dim_out=dim_out, num_heads=1,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3),
+        stride_q=(1, 2, 2), stride_kv=(1, 2, 2), fused=True,
+    )
+    params = make_block(jax.random.PRNGKey(6), spec)
+    x = jnp.asarray(rng.standard_normal((2, 128, dim)), jnp.float32)
+    dp_mask = jnp.asarray([1.25, 0.0], jnp.float32)
+    tgt = jnp.asarray(rng.standard_normal((2, 128, dim_out)), jnp.float32)
+
+    def loss_fused(x, p):
+        out = kb.fused_mlp_tail_train(x, p, spec, dp_mask, interpret=True)
+        return jnp.sum(jnp.square(out - tgt))
+
+    def loss_ref(x, p):
+        return jnp.sum(jnp.square(_composite_tail_train(x, p, spec, dp_mask) - tgt))
+
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=2e-3, rtol=2e-3)
+    flat_f, tdef_f = jax.tree_util.tree_flatten_with_path(gp_f)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(gp_r)
+    for (path, a), (_, b) in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_model_train_grads_with_fused_tail(rng, monkeypatch):
+    """Tiny CSTS family model, TRAINING mode: loss + grads through the fused
+    stored-residual tail == composite. DROPPATH_RATE=0 so the two paths draw no
+    stochastic-depth masks (mask shapes differ between implementations)."""
+    from csts_tpu.config import get_cfg
+    from csts_tpu.models import csts as csts_lib
+
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.AUDIO_FREQ_BINS = 32
+    cfg.DATA.AUDIO_WINDOW = 32
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MVIT.SEP_POS_EMBED = True
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.DROPPATH_RATE = 0.0
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 8, 8]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [2, 1, 2, 2], [3, 1, 2, 2]]
+    cfg.MODEL.LOSS_FUNC = "kldiv"
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+    video = jnp.asarray(rng.standard_normal((1, 8, 32, 32, 3)), jnp.float32)
+    audio = jnp.asarray(rng.standard_normal((1, 8, 32, 32, 1)), jnp.float32)
+    key = jax.random.PRNGKey(9)
+
+    def loss(p):
+        out = csts_lib.csts_apply(p, spec, video, audio, deterministic=False, rng=key)
+        return jnp.sum(jnp.square(out))
+
+    ka.set_enabled(False)
+    l_ref, g_ref = jax.value_and_grad(loss)(params)
+
+    orig = kb.fused_mlp_tail_train
+    monkeypatch.setattr(
+        kb, "fused_mlp_tail_train",
+        lambda x, p, s, m, interpret=False: orig(x, p, s, m, interpret=True),
+    )
+    ka.set_enabled(True)
+    ka.set_train_attention(False)  # CPU: composite attention, fused tail only
+    try:
+        l_f, g_f = jax.value_and_grad(loss)(params)
+    finally:
+        ka.set_enabled(None)
+        ka.set_train_attention(True)
+
+    np.testing.assert_allclose(float(l_f), float(l_ref), rtol=1e-5)
+    flat_f, _ = jax.tree_util.tree_flatten_with_path(g_f)
+    flat_r, _ = jax.tree_util.tree_flatten_with_path(g_ref)
+    for (path, a), (_, b) in zip(flat_f, flat_r):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-4, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_mlp_tail_gradients(rng):
     spec = AttentionSpec(
         dim=96, dim_out=192, num_heads=1,

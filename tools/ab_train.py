@@ -1,0 +1,90 @@
+#!/usr/bin/env python3
+"""A/B the flagship TRAIN step: composite tail vs fused stored-residual tail (dev tool).
+
+Round-1 baseline: 234.6 ms/step at batch 8 bf16 (kldiv+egonce fwd+bwd+AdamW), all
+Pallas kernels gated to inference. This measures, in ONE process (tunnel variance is
+±5% across processes), the full jitted train step with:
+  A) kernels disabled (the round-1 configuration), and
+  B) the training-mode fused MLP tail (kernels/block.py fused_mlp_tail_train) live.
+
+Usage: python tools/ab_train.py [--batch 8] [--iters 20]
+Run on the TPU host to natural exit; never kill (TPU claim wedges).
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=20)
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship_cfg
+    from csts_tpu.kernels import attention as ka
+    from csts_tpu.models import csts as csts_lib
+    from csts_tpu.train import step as step_lib
+
+    cfg = _flagship_cfg()
+    cfg.TRAIN.MIXED_PRECISION = True
+    cfg.TRAIN.BATCH_SIZE = args.batch
+    spec = csts_lib.build_spec(cfg)
+
+    B = args.batch
+    print(f"device: {jax.devices()[0]}  batch={B} iters={args.iters}", flush=True)
+
+    @jax.jit
+    def make_batch(key):
+        kv, ka_, kl = jax.random.split(key, 3)
+        hm = jax.nn.softmax(
+            jax.random.normal(kl, (B, 8, 64 * 64), jnp.float32), axis=-1
+        ).reshape(B, 8, 64, 64)
+        return {
+            "video": jax.random.normal(kv, (B, 8, 256, 256, 3), jnp.bfloat16),
+            "audio": jax.random.normal(ka_, (B, 8, 256, 256, 1), jnp.bfloat16),
+            "labels_hm": hm,
+        }
+
+    batch = make_batch(jax.random.PRNGKey(0))
+
+    def run(tag):
+        state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(1))
+        train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch=100)
+        rng = jax.random.PRNGKey(2)
+        # warmup/compile
+        t0 = time.perf_counter()
+        state, stats, _ = train_step(state, batch, rng)
+        float(stats["loss"])
+        print(f"{tag}: compile+first step {time.perf_counter()-t0:.1f}s", flush=True)
+        state, stats, _ = train_step(state, batch, rng)
+        float(stats["loss"])
+
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            state, stats, _ = train_step(state, batch, rng)
+        float(stats["loss"])
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{tag}: {dt*1000:.1f} ms/step  ({B/dt:.1f} clips/s)", flush=True)
+        return dt
+
+    ka.set_enabled(False)
+    dt_a = run("A composite (kernels off)     ")
+    ka.set_enabled(True)
+    ka.set_train_attention(False)
+    dt_b = run("B fused train tail only       ")
+    ka.set_train_attention(True)
+    dt_c = run("C tail + attn recompute kernel")
+    print(f"tail-only vs composite: {dt_a/dt_b:.3f}x", flush=True)
+    print(f"tail+attn vs composite: {dt_a/dt_c:.3f}x", flush=True)
+
+
+if __name__ == "__main__":
+    main()
