@@ -86,33 +86,104 @@ def conv3d(
     return out
 
 
-def _stencil_dispatch(w, x, stride, padding, transpose: bool, output_padding=None):
-    """Route a depthwise conv to the Pallas stencil kernel when profitable.
+def _shift_depthwise_conv3d(w, x, stride, padding):
+    """Depthwise conv as fused shift-multiply-adds (the TPU workaround for XLA's
+    grouped-conv lowering, which expands depthwise convs to dense C×C matmuls —
+    measured 4-25x over bandwidth in tools/bench_ops.py). Each kernel tap becomes a
+    strided ``lax.slice`` of the padded input times a per-channel weight vector;
+    XLA fuses the k³ terms into one output-shaped loop. fp32 accumulation.
 
-    XLA's depthwise (feature_group_count == C) 3-D conv lowering measured 4-25x
-    slower than bandwidth on TPU (tools/bench_ops.py round 2); the stencil kernel
-    (kernels/stencil.py) does one HBM read + one write. Channels are lane-padded
-    with zero weights when C % 128 != 0. Returns None when ineligible."""
+    ``w``: (kT, kH, kW, 1, C); ``x``: (B, T, H, W, C)."""
+    kt, kh, kw = (int(d) for d in w.shape[:3])
+    st, sh, sw = (int(s) for s in stride)
+    pt, ph, pw = (int(p) for p in padding)
+    b, t, h, wd, c = x.shape
+    to = (t + 2 * pt - kt) // st + 1
+    ho = (h + 2 * ph - kh) // sh + 1
+    wo = (wd + 2 * pw - kw) // sw + 1
+    xp = jnp.pad(x, [(0, 0), (pt, pt), (ph, ph), (pw, pw), (0, 0)])
+    wv = w.reshape(kt, kh, kw, c).astype(jnp.float32)
+    acc = jnp.zeros((b, to, ho, wo, c), jnp.float32)
+    for dt in range(kt):
+        for dh in range(kh):
+            for dw in range(kw):
+                sl = lax.slice(
+                    xp,
+                    (0, dt, dh, dw, 0),
+                    (b, dt + (to - 1) * st + 1, dh + (ho - 1) * sh + 1,
+                     dw + (wo - 1) * sw + 1, c),
+                    (1, st, sh, sw, 1),
+                )
+                acc = acc + wv[dt, dh, dw] * sl.astype(jnp.float32)
+    return acc.astype(x.dtype)
+
+
+def _shift_depthwise_transpose3d(w, x, stride, padding, output_padding):
+    """Depthwise transposed conv via subpixel phases whose dense correlations are
+    shift-multiply-adds (see _shift_depthwise_conv3d for why not a grouped conv).
+    Same phase plan as the general subpixel path below."""
+    c = x.shape[-1]
+    k = tuple(int(d) for d in w.shape[:3])
+    stride = tuple(int(s) for s in stride)
+    padding = tuple(int(p) for p in padding)
+    output_padding = tuple(int(o) for o in output_padding)
+    plans = [
+        _transpose_phase_plan(k[d], stride[d], padding[d], output_padding[d], x.shape[1 + d])
+        for d in range(3)
+    ]
+    if any(pl is None for pl in plans) or max(stride) > 2:
+        return None
+    b = x.shape[0]
+    wv = w.reshape(*k, c)
+    phases = []
+    for rt in range(stride[0]):
+        for rh in range(stride[1]):
+            for rw in range(stride[2]):
+                sel = (plans[0][rt], plans[1][rh], plans[2][rw])
+                idxs = [
+                    [start - stride[d] * a for a in range(count)]
+                    for d, (start, count, _, _, _) in enumerate(sel)
+                ]
+                pads = [(pl[2], pl[3]) for pl in sel]
+                xp = jnp.pad(x, [(0, 0)] + list(pads) + [(0, 0)])
+                dims = [pl[4] for pl in sel]
+                acc = jnp.zeros((b, *dims, c), jnp.float32)
+                for a0, i0 in enumerate(idxs[0]):
+                    for a1, i1 in enumerate(idxs[1]):
+                        for a2, i2 in enumerate(idxs[2]):
+                            sl = lax.slice(
+                                xp,
+                                (0, a0, a1, a2, 0),
+                                (b, a0 + dims[0], a1 + dims[1], a2 + dims[2], c),
+                            )
+                            tap = wv[i0, i1, i2].astype(jnp.float32)
+                            acc = acc + tap * sl.astype(jnp.float32)
+                phases.append(acc.astype(x.dtype))
+    t0, h0, w0 = (pl[0][4] for pl in plans)
+    st, sh, sw = stride
+    out = jnp.stack(phases)
+    out = out.reshape(st, sh, sw, b, t0, h0, w0, c)
+    out = out.transpose(3, 4, 0, 5, 1, 6, 2, 7)
+    return out.reshape(b, t0 * st, h0 * sh, w0 * sw, c)
+
+
+def _stencil_dispatch(w, x, stride, padding, transpose: bool, output_padding=None):
+    """Route a depthwise conv away from XLA's grouped-conv lowering on TPU.
+
+    The shift-stack formulation above is the default. (A Pallas whole-plane stencil
+    kernel, kernels/stencil.py, was also built and measured SLOWER than even the
+    grouped-conv path at batch 32 — sublane-shifted window reads relayout per tap
+    and the fp32 plane temporaries blow the 16 MB VMEM budget at d3 — so it is not
+    dispatched.) Returns None to fall back to the native path."""
     from csts_tpu.kernels import attention as ka
-    from csts_tpu.kernels import stencil
 
     if not ka.enabled():
         return None
-    if not stencil._supported(w.shape[:3], stride, padding, transpose):
+    if any(int(kd) > 3 for kd in w.shape[:3]):
         return None
-    b, t, h, w_dim, c = x.shape
-    if not transpose and (h % stride[1] or w_dim % stride[2]):
-        return None
-    cp = (c + 127) // 128 * 128
-    xk, wk = x, w
-    if cp != c:
-        xk = jnp.pad(x, [(0, 0)] * 4 + [(0, cp - c)])
-        wk = jnp.pad(w, [(0, 0)] * 4 + [(0, cp - c)])
     if transpose:
-        out = stencil.depthwise_transpose3d(wk, xk, stride, padding, output_padding)
-    else:
-        out = stencil.depthwise_pool3d(wk, xk, stride, padding)
-    return out[..., :c] if cp != c else out
+        return _shift_depthwise_transpose3d(w, x, stride, padding, output_padding)
+    return _shift_depthwise_conv3d(w, x, stride, padding)
 
 
 def _depthwise_conv3d_xla(

@@ -53,6 +53,32 @@ def test_pool_odd_temporal_stride(rng):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
 
 
+@pytest.mark.parametrize("stride", [(1, 1, 1), (1, 2, 2), (1, 4, 4), (2, 2, 2), (1, 8, 8)])
+def test_shift_stack_pool_matches_native(rng, stride):
+    from csts_tpu.ops import conv as conv_ops
+
+    c = 96  # non-128-aligned channels exercise the general path
+    x = jnp.asarray(rng.standard_normal((2, 4, 16, 16, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 1, c)), jnp.float32)
+    ref = conv_ops._depthwise_conv3d_xla(w, x, stride, (1, 1, 1))
+    out = conv_ops._shift_depthwise_conv3d(w, x, stride, (1, 1, 1))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("stride", [(1, 2, 2), (2, 1, 1), (2, 2, 2), (1, 1, 1)])
+def test_shift_stack_transpose_matches_native(rng, stride):
+    from csts_tpu.ops import conv as conv_ops
+
+    c = 96
+    x = jnp.asarray(rng.standard_normal((2, 4, 8, 8, c)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((3, 3, 3, 1, c)), jnp.float32)
+    outpad = tuple(0 if s == 1 else s - 1 for s in stride)
+    ref = conv_ops._depthwise_conv_transpose3d_xla(w, x, stride, (1, 1, 1), outpad)
+    out = conv_ops._shift_depthwise_transpose3d(w, x, stride, (1, 1, 1), outpad)
+    assert out is not None
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
 def test_supported_gate():
     assert stencil._supported((3, 3, 3), (1, 2, 2), (1, 1, 1), True)
     assert not stencil._supported((3, 3, 3), (1, 3, 3), (1, 1, 1), True)
