@@ -211,9 +211,34 @@ class AugConfig:
 
 
 @dataclass
+class TBConfusionMatrixConfig:
+    """tensorboard_vis.py:31-47 / defaults.py TENSORBOARD.CONFUSION_MATRIX."""
+
+    ENABLE: bool = False
+    FIGSIZE: list = field(default_factory=lambda: [8, 8])
+    SUBSET_PATH: str = ""  # json: list of class ids to plot as a subset
+
+
+@dataclass
+class TBHistogramConfig:
+    """defaults.py TENSORBOARD.HISTOGRAM — top-k prediction histograms per class."""
+
+    ENABLE: bool = False
+    FIGSIZE: list = field(default_factory=lambda: [8, 8])
+    TOPK: int = 10
+    SUBSET_PATH: str = ""
+
+
+@dataclass
 class TensorboardConfig:
     ENABLE: bool = False
     LOG_DIR: str = ""
+    # json file mapping class id -> name (defaults.py TENSORBOARD.CLASS_NAMES_PATH)
+    CLASS_NAMES_PATH: str = ""
+    CONFUSION_MATRIX: TBConfusionMatrixConfig = field(
+        default_factory=TBConfusionMatrixConfig
+    )
+    HISTOGRAM: TBHistogramConfig = field(default_factory=TBHistogramConfig)
 
 
 @dataclass

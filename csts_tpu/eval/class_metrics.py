@@ -39,6 +39,37 @@ def confusion_matrix(preds: np.ndarray, labels: np.ndarray, num_classes: int) ->
     return cm
 
 
+def plot_topk_histogram(class_name, counts: np.ndarray, k: int = 10,
+                        class_names=None, path: str = None):
+    """Histogram of the top-k most frequently predicted classes for one true class
+    (visualization/utils.py plot_topk_histogram; fed by a confusion-matrix row)."""
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+    counts = np.asarray(counts, np.float64)
+    k = min(k, counts.shape[0])
+    top = np.argsort(counts)[::-1][:k]
+    names = (
+        [str(class_names[i]) for i in top] if class_names is not None
+        else [str(i) for i in top]
+    )
+    fig, ax = plt.subplots(figsize=(8, 8))
+    ax.bar(range(k), counts[top])
+    ax.set_xticks(range(k))
+    ax.set_xticklabels(names, rotation=90)
+    ax.set_title(f"Top-{k} predictions for true class {class_name}")
+    ax.set_ylabel("count")
+    fig.tight_layout()
+    if path:
+        fig.savefig(path, bbox_inches="tight")
+        plt.close(fig)
+    return fig
+
+
 def plot_confusion_matrix(cm: np.ndarray, class_names=None, path: str = None):
     """Render with matplotlib if available (visualization/utils.py:190-230)."""
     try:
