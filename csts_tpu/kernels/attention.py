@@ -64,6 +64,21 @@ def set_train_attention(value: bool) -> None:
     _TRAIN_ATTN = value
 
 
+# Same switch for the fused decoder-block kernel in TRAINING forwards (exact when
+# the block has no stochastic depth — the CSTS decoder ships drop_path=0; backward
+# recomputes through the composite block).
+_TRAIN_DECODER: bool = True
+
+
+def train_decoder_enabled() -> bool:
+    return _TRAIN_DECODER
+
+
+def set_train_decoder(value: bool) -> None:
+    global _TRAIN_DECODER
+    _TRAIN_DECODER = value
+
+
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, out_ref, *, scale: float, with_mask: bool):
     """One (batch·head, q-tile) grid step.
 

@@ -648,43 +648,108 @@ def fused_mlp_tail(x, params, spec, interpret: bool = False):
 
 
 def _decoder_kernel(
-    q_ref, skip_ref, k_ref, v_ref,
-    nqs_ref, nqb_ref, wproj_ref, bproj_ref,
-    ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-    wres_ref, bres_ref,
-    out_ref,
-    acc_scr,
-    *, heads: int, hd_real: int, c_real: int, scale: float,
+    *refs,
+    ets: Tuple[int, ...],
+    heads: int, hd_real: int, c_real: int, scale: float,
     has_res_proj: bool, has_norm_q: bool,
+    st: int, sh: int, sw: int, t_c: int, h_c: int, w_c: int,
+    r_fine: int, tiles_per_plane: int,
 ):
-    """One (batch, token-tile, head) grid step. Shapes (padded):
-    q (1, TILE, 128) per-head slice · skip (1, TILE, Cp) · k/v (1, 1, Lk, 128) ·
-    nqs/nqb (1, 1, 128) · wproj (1, 128, Cp) · MLP weights as in the tail kernel ·
-    out (1, TILE, Cop) · scratch acc (TILE, Cp) fp32."""
+    """One (batch, fine-row-tile, head) grid step.
+
+    q views: one (1, 1, heads, H_c+2, W_c, hd_p) ROW-padded coarse-Q block per
+    T-offset in ``ets`` (clamped plane index; invalid planes re-zeroed here). The
+    index maps do NOT depend on the head grid axis, so Mosaic skips the refetch
+    across consecutive head steps — the per-head variant measured 12 GB of view
+    traffic at d4. The subpixel transposed conv (k=3, p=1, s≤2 — every tap's
+    coarse offset is in {−1,0,1}) runs in VMEM on a (rc+2, W_c+2) window and the
+    spatial phases interleave in registers, so fine-resolution Q never touches
+    HBM. skip (1, TILE, Cp) · k/v (1, heads, Lk, hd_p) · wconv (3,3,3,hd_p) ·
+    wproj (heads, hd_p, Cp) · out (1, TILE, Cop) · scratch acc (TILE, Cp) fp32.
+    TILE = r_fine·W_f fine tokens (whole fine rows of one fine T plane)."""
+    nv = len(ets)
+    qview_refs = refs[:nv]
+    (skip_ref, k_ref, v_ref, wconv_ref, nqs_ref, nqb_ref, wproj_ref, bproj_ref,
+     ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+     wres_ref, bres_ref, out_ref, acc_scr) = refs[nv:]
     f32 = jnp.float32
+    j = pl.program_id(1)
     h = pl.program_id(2)
+    t_f = j // tiles_per_plane
+    m = t_f // st
+    c0 = (j % tiles_per_plane) * (r_fine // sh)  # first coarse row of this tile
+    rc = r_fine // sh                            # coarse rows per spatial phase
+    w_f = w_c * sw
+    hd_p = qview_refs[0].shape[-1]
 
     @pl.when(h == 0)
     def _():
         acc_scr[:] = jnp.zeros_like(acc_scr)
 
-    q = q_ref[0].astype(f32)
+    views = dict(zip(ets, qview_refs))
+
+    def window(et):
+        # rows [c0−1, c0+rc+1) of coarse plane m+et for THIS head — the +1 row pad
+        # baked into the input makes the load always in-range; zero the plane if
+        # m+et is OOB. The three column-shifted (sublane) variants are hoisted and
+        # computed ONCE per window — re-slicing per tap relayouts every time.
+        win = views[et][0, 0, h, pl.ds(c0, rc + 2)]
+        valid = jnp.logical_and(m + et >= 0, m + et < t_c)
+        win = (win * valid.astype(win.dtype)).astype(f32)
+        winp = jnp.pad(win, ((0, 0), (1, 1), (0, 0)))
+        return {ew: winp[:, 1 + ew : 1 + ew + w_c, :] for ew in (-1, 0, 1)}
+
+    def build_q(r_t):
+        wins = {}
+        rows = []
+        for r_h in range(sh):
+            cols = []
+            for r_w in range(sw):
+                acc = jnp.zeros((rc, w_c, hd_p), f32)
+                for dt in range(3):
+                    if (r_t + 1 - dt) % st:
+                        continue
+                    et = (r_t + 1 - dt) // st
+                    if et not in wins:
+                        wins[et] = window(et)
+                    for dh in range(3):
+                        if (r_h + 1 - dh) % sh:
+                            continue
+                        eh = (r_h + 1 - dh) // sh
+                        for dw in range(3):
+                            if (r_w + 1 - dw) % sw:
+                                continue
+                            ew = (r_w + 1 - dw) // sw
+                            sl = wins[et][ew][1 + eh : 1 + eh + rc]
+                            acc = acc + wconv_ref[dt, dh, dw].astype(f32) * sl
+                cols.append(acc)
+            row = cols[0] if sw == 1 else jnp.stack(cols, axis=2).reshape(rc, w_f, hd_p)
+            rows.append(row)
+        full = rows[0] if sh == 1 else jnp.stack(rows, axis=1).reshape(rc * sh, w_f, hd_p)
+        return full.reshape(r_fine * w_f, hd_p)
+
+    if st == 1:
+        q = build_q(0)
+    else:
+        # both T phases are cheap VPU work on small windows; select by plane parity
+        q = jnp.where(t_f % st == 0, build_q(0), build_q(1))
+
     if has_norm_q:
         # pool-norm LayerNorm over the REAL head dim (pads are zero), torch eps 1e-5
         mean = jnp.sum(q, axis=-1, keepdims=True) / hd_real
         var = jnp.sum(jnp.square(q), axis=-1, keepdims=True) / hd_real - jnp.square(mean)
         q = (q - mean) * jax.lax.rsqrt(var + 1e-5)
         q = q * nqs_ref[0].astype(f32) + nqb_ref[0].astype(f32)
-    qh = q.astype(q_ref.dtype)
+    qh = q.astype(out_ref.dtype)
 
     logits = jax.lax.dot_general(
-        qh, k_ref[0, 0], (((1,), (1,)), ((), ())), preferred_element_type=f32
+        qh, k_ref[0, h], (((1,), (1,)), ((), ())), preferred_element_type=f32
     ) * scale
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    av = jnp.dot(p.astype(q_ref.dtype), v_ref[0, 0], preferred_element_type=f32)
-    acc_scr[:] += jnp.dot(av.astype(q_ref.dtype), wproj_ref[0], preferred_element_type=f32)
+    lmax = jnp.max(logits, axis=-1, keepdims=True)
+    prob = jnp.exp(logits - lmax)
+    prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
+    av = jnp.dot(prob.astype(out_ref.dtype), v_ref[0, h], preferred_element_type=f32)
+    acc_scr[:] += jnp.dot(av.astype(out_ref.dtype), wproj_ref[h], preferred_element_type=f32)
 
     @pl.when(h == heads - 1)
     def _():
@@ -693,13 +758,22 @@ def _decoder_kernel(
         var2 = jnp.sum(jnp.square(res1), axis=-1, keepdims=True) / c_real - jnp.square(mean2)
         xn2 = (res1 - mean2) * jax.lax.rsqrt(var2 + 1e-6)
         xn2 = xn2 * ln2s_ref[:].astype(f32) + ln2b_ref[:].astype(f32)
-        xn2_16 = xn2.astype(q_ref.dtype)
-        hid = jnp.dot(xn2_16, wfc1_ref[:], preferred_element_type=f32) + bfc1_ref[:].astype(f32)
-        hid = 0.5 * hid * (1.0 + _erf(hid * np.float32(1.0 / np.sqrt(2.0))))
-        mlp = (
-            jnp.dot(hid.astype(q_ref.dtype), wfc2_ref[:], preferred_element_type=f32)
-            + bfc2_ref[:].astype(f32)
-        )
+        xn2_16 = xn2.astype(out_ref.dtype)
+        # MLP chunked over the hidden dim: the fp32 GELU temporaries on a full
+        # (TILE, 3072) hidden put the d1 block 254 KB over the 16 MB VMEM stack
+        hid_p = wfc1_ref.shape[1]
+        step = min(hid_p, 1536)
+        mlp = jnp.zeros((res1.shape[0], out_ref.shape[-1]), f32) + bfc2_ref[:].astype(f32)
+        for s in range(0, hid_p, step):
+            pre = (
+                jnp.dot(xn2_16, wfc1_ref[:, s : s + step], preferred_element_type=f32)
+                + bfc1_ref[:, s : s + step].astype(f32)
+            )
+            act = 0.5 * pre * (1.0 + _erf(pre * np.float32(1.0 / np.sqrt(2.0))))
+            mlp = mlp + jnp.dot(
+                act.astype(out_ref.dtype), wfc2_ref[s : s + step, :],
+                preferred_element_type=f32,
+            )
         if has_res_proj:
             base = (
                 jnp.dot(xn2_16, wres_ref[:], preferred_element_type=f32)
@@ -710,25 +784,56 @@ def _decoder_kernel(
         out_ref[0] = (base + mlp).astype(out_ref.dtype)
 
 
-def _fused_decoder_impl(q_fine, skip, k, v, p, spec, interpret: bool):
-    """q_fine: (B, L_f, heads·128) upsampled Q in token-major head-slot layout;
-    skip: (B, L_f, C) trilinear residual; k/v: (B, heads, Lk, hd) pooled+normed."""
-    b, l, _ = q_fine.shape
+def _decoder_tile_plan(spec, thw_f):
+    """(r_fine, tile, tiles_per_plane) — whole fine rows per tile, or None."""
+    t_f, h_f, w_f = thw_f
+    sh = spec.stride_q[1] if len(spec.stride_q) > 1 else 1
+    # VMEM: resident MLP weights + the fp32 hidden tile. d1 (dim 768 → 768, 9.4 MB
+    # of fc weights) measured 374 KB over the 16 MB scoped budget at tile 256.
+    hidden = int((spec.dim_out if spec.upsample_q else spec.dim) * spec.mlp_ratio)
+    w_bytes = (spec.dim * hidden + hidden * spec.dim_out) * 2
+    if w_bytes > 8 * 2 ** 20:
+        # d1-class blocks (768→768: 9.4 MB of resident fc weights) end 2 KB over
+        # the 16 MB VMEM stack even at tile 128 with a hidden-chunked MLP — and
+        # their composite is only 5.4 ms at batch 32. Not worth it.
+        return None
+    target = 512 if spec.dim <= 384 else (256 if w_bytes <= 6 * 2 ** 20 else 128)
+    r = max(sh, target // w_f)
+    if r > h_f:
+        r = h_f
+    if h_f % r or r % sh or (r * w_f) % 128:
+        return None
+    return r, r * w_f, h_f // r
+
+
+def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
+    """q6: (B, T_c, heads, H_c+2, W_c, hd_p) ROW-padded coarse Q (post LN1+Wq+bias,
+    PRE upsample conv), heads-major; skip: (B, L_f, C) trilinear residual;
+    k/v: (B, heads, Lk, hd) pooled+normed. The q upsample conv + pool norm run
+    inside the kernel, so fine-resolution Q never exists in HBM."""
+    b = q6.shape[0]
+    t_c, h_c, w_c = q6.shape[1], q6.shape[3] - 2, q6.shape[4]
     c = spec.dim
     heads, hd = spec.num_heads, spec.head_dim
-    tile = _pick_tile(l)
-    if spec.dim > 384:
-        tile = min(tile, 256)
-        while l % tile:
-            tile //= 2
+    tfd, hfd, wfd = thw_f
+    l = tfd * hfd * wfd
+    r_fine, tile, tiles_per_plane = _decoder_tile_plan(spec, thw_f)
+    st, sh, sw = (int(s) for s in spec.stride_q)
+    # T offsets actually used: stride-1 taps reach planes m−1..m+1; stride-2 phase
+    # taps only m and m+1 (k=3, p=1, op=1)
+    ets = (-1, 0, 1) if st == 1 else (0, 1)
 
-    ws, cp, cop, has_res = _prep_tail_weights(p, spec, q_fine.dtype)
+    ws, cp, cop, has_res = _prep_tail_weights(p, spec, skip.dtype)
     hd_p = _round_up(hd, 128)
-    dt = q_fine.dtype
+    dt = skip.dtype
 
     wproj = p["attn"]["proj"]["w"].reshape(heads, hd, c)
     wproj = jnp.pad(wproj, [(0, 0), (0, hd_p - hd), (0, cp - c)]).astype(dt)
     bproj = jnp.pad(p["attn"]["proj"]["b"], (0, cp - c)).reshape(1, cp).astype(dt)
+
+    # upsample conv weight: per-channel (hd,), shared by all heads (attention.py:280)
+    wconv = jnp.pad(p["attn"]["pool_q"].reshape(3, 3, 3, hd), [(0, 0)] * 3 + [(0, hd_p - hd)])
+    wconv = wconv.astype(dt)
 
     # the pool norm is nn.LayerNorm(head_dim) — one (hd,) scale/bias shared by all
     # heads (attention.py:206)
@@ -749,18 +854,34 @@ def _fused_decoder_impl(q_fine, skip, k, v, p, spec, interpret: bool):
 
     kernel = functools.partial(
         _decoder_kernel,
+        ets=ets,
         heads=heads, hd_real=hd, c_real=c, scale=float(spec.scale),
         has_res_proj=has_res, has_norm_q=has_norm_q,
+        st=st, sh=sh, sw=sw, t_c=t_c, h_c=h_c, w_c=w_c,
+        r_fine=r_fine, tiles_per_plane=tiles_per_plane,
     )
 
-    in_specs = [
-        pl.BlockSpec((1, tile, hd_p), lambda i, j, h: (i, j, h), memory_space=pltpu.VMEM),
+    def qview(e):
+        # head-independent index map: consecutive head/tile steps hit the same
+        # block, so Mosaic fetches each coarse plane once per fine T plane
+        return pl.BlockSpec(
+            (1, 1, heads, h_c + 2, w_c, hd_p),
+            lambda i, j, h, e=e: (
+                i,
+                jnp.clip(j // tiles_per_plane // st + e, 0, t_c - 1),
+                0, 0, 0, 0,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [qview(e) for e in ets] + [
         pl.BlockSpec((1, tile, cp), lambda i, j, h: (i, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, lk, hd_p), lambda i, j, h: (i, h, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, lk, hd_p), lambda i, j, h: (i, h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j, h: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j, h: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, 3, hd_p), lambda i, j, h: (0, 0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, hd_p), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, hd_p), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, hd_p, cp), lambda i, j, h: (h, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, hd_p, cp), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec(bproj.shape, lambda i, j, h: (0, 0), memory_space=pltpu.VMEM),
     ]
     for w in ws:
@@ -777,20 +898,20 @@ def _fused_decoder_impl(q_fine, skip, k, v, p, spec, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((b, l, cop), dt),
         scratch_shapes=[pltpu.VMEM((tile, cp), jnp.float32)],
         interpret=interpret,
-    )(q_fine, skip_p, kp, vp, nqs, nqb, wproj, bproj, *ws)
+    )(*([q6] * len(ets)), skip_p, kp, vp, wconv, nqs, nqb, wproj, bproj, *ws)
     return out[..., : spec.dim_out]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _fused_decoder(q_fine, skip, k, v, p, spec, interpret):
-    return _fused_decoder_impl(q_fine, skip, k, v, p, spec, interpret)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_decoder(q5, skip, k, v, p, spec, thw_f, interpret):
+    return _fused_decoder_impl(q5, skip, k, v, p, spec, thw_f, interpret)
 
 
-def _dec_fwd(q_fine, skip, k, v, p, spec, interpret):
-    return _fused_decoder_impl(q_fine, skip, k, v, p, spec, interpret), None
+def _dec_fwd(q5, skip, k, v, p, spec, thw_f, interpret):
+    return _fused_decoder_impl(q5, skip, k, v, p, spec, thw_f, interpret), None
 
 
-def _dec_bwd(spec, interpret, residuals, g):
+def _dec_bwd(spec, thw_f, interpret, residuals, g):
     raise NotImplementedError(
         "fused decoder block is inference-only (dispatch gates on deterministic)"
     )
@@ -799,7 +920,7 @@ def _dec_bwd(spec, interpret, residuals, g):
 _fused_decoder.defvjp(_dec_fwd, _dec_bwd)
 
 
-def decoder_eligible(spec, mask, deterministic: bool, l_fine: int, lk: int) -> bool:
+def decoder_eligible(spec, mask, deterministic: bool, thw_f, lk: int) -> bool:
     """Upsample-Q decoder blocks with small pooled KV and aligned fine tiling."""
     return (
         spec.fused
@@ -809,20 +930,298 @@ def decoder_eligible(spec, mask, deterministic: bool, l_fine: int, lk: int) -> b
         and spec.dim % spec.num_heads == 0
         and spec.head_dim <= 256
         and spec.dim <= 768
-        and l_fine % 128 == 0
+        and len(spec.stride_q) == 3
+        and all(s in (1, 2) for s in spec.stride_q)
+        and tuple(spec.kernel_q) == (3, 3, 3)
+        and _decoder_tile_plan(spec, thw_f) is not None
         and lk <= 512  # K/V must sit whole in VMEM per head
     )
 
 
-def fused_decoder_block(q_fine, skip, k_pooled, v_pooled, params, spec,
+def fused_decoder_block(q5_coarse, skip, k_pooled, v_pooled, params, spec, thw_f,
                         interpret: bool = False):
     """Run a decoder (upsample-Q) block through the fused kernel.
 
-    q_fine: (B, L_f, heads·128) raw upsampled Q (conv output, PRE pool-norm) in
-    token-major layout with each head in its own 128-lane slot, pads zero;
-    skip: (B, L_f, C) trilinear-upsampled residual; k/v: (B, heads, Lk, hd)
-    pooled+normed. Returns (B, L_f, dim_out)."""
-    return _fused_decoder(q_fine, skip, k_pooled, v_pooled, params, spec, interpret)
+    q5_coarse: (B, T_c, H_c+2, W_c, heads·hd_p) row-padded coarse Q (post LN1 +
+    Q-projection + bias, PRE upsample conv) with each head in its own 128k-lane
+    slot, pads zero; skip: (B, L_f, C) trilinear-upsampled residual; k/v:
+    (B, heads, Lk, hd) pooled+normed; thw_f: fine grid. The subpixel upsample
+    conv, pool norm, 64-token attention, head-accumulated projection, residual
+    and MLP tail all run per fine tile in VMEM. Returns (B, L_f, dim_out)."""
+    return _fused_decoder(q5_coarse, skip, k_pooled, v_pooled, params, spec,
+                          tuple(thw_f), interpret)
+
+
+# ----------------------------------------------------------------------------------
+# Encoder Q-pool block kernel: the stage-transition blocks (video 1/3, audio 1/2 —
+# ~60 ms of the batch-32 forward) pool Q by (1,2,2) with a depthwise conv, pool the
+# skip with MaxPool(1,3,3)/s(1,2,2), then attend at the coarse resolution. Same
+# recipe as the decoder kernel, downsampling instead of upsampling: XLA computes
+# LN1 + the Q projection at fine resolution (one MXU matmul) into head-major padded
+# planes; the kernel then pools Q (dense taps + stride-2 row/col selection), applies
+# the pool norm, attends against the whole pooled K/V, accumulates the output
+# projection over head grid steps, max-pools the skip from a −1e30-row-padded x
+# plane, and runs the LN2+MLP(+proj) tail. Reference: attention.py:11-49 (pool),
+# :234-241 (MaxPool skip), :165-248 (block).
+# ----------------------------------------------------------------------------------
+
+
+def _pool_block_kernel(
+    *refs,
+    heads: int, hd_real: int, c_real: int, scale: float,
+    has_res_proj: bool, has_norm_q: bool,
+    t_c: int, h_f: int, w_f: int, r_out: int, tiles_per_plane: int,
+):
+    """One (batch, out-row-tile, head) grid step.
+
+    q views: six (1, 1, heads, RB, W_f, hd_p) ROW-BLOCK views of the fine Q planes
+    — (T offset −1/0/+1) × (row-block jt, jt+1), RB = 2·r_out fine rows; the
+    kernel stitches the (RB+2)-row halo window from two adjacent row blocks, so
+    VMEM holds row windows, never whole planes (a full 64-row plane set OOMs).
+    x: two row-block views of the raw input plane padded with −1e30 rows (MaxPool
+    identity). k/v: (1, heads, Lk, hd_p). out: (1, TILE, Cop), TILE = r_out·(W_f/2)
+    coarse tokens (whole output rows)."""
+    (qa_m1, qb_m1, qa_0, qb_0, qa_p1, qb_p1, skip_ref,
+     k_ref, v_ref, wconv_ref, nqs_ref, nqb_ref, wproj_ref, bproj_ref,
+     ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+     wres_ref, bres_ref, out_ref, acc_scr) = refs
+    f32 = jnp.float32
+    j = pl.program_id(1)
+    h = pl.program_id(2)
+    t_o = j // tiles_per_plane
+    w_o = w_f // 2
+    hd_p = qa_0.shape[-1]
+
+    @pl.when(h == 0)
+    def _():
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    # ---- pooled Q: dense 3×3×3 taps, stride-2 row selection + col downsample ----
+    views = ((qa_m1, qb_m1), (qa_0, qb_0), (qa_p1, qb_p1))
+    acc = jnp.zeros((r_out, w_f, hd_p), f32)
+    for dt in range(3):
+        t_src = t_o + dt - 1
+        va, vb = views[dt]
+        win = jnp.concatenate([va[0, 0, h], vb[0, 0, h, :2]], axis=0)
+        valid = jnp.logical_and(t_src >= 0, t_src < t_c)
+        win = (win * valid.astype(win.dtype)).astype(f32)
+        winp = jnp.pad(win, ((0, 0), (1, 1), (0, 0)))
+        # hoist the three column-shifted (sublane) variants — one shuffle each,
+        # reused across the 9 spatial taps. Strided row selection must go through
+        # a reshape (Mosaic lowers a[::2] on 3-D arrays as an unsupported gather).
+        shifted = [winp[:, dw : dw + w_f, :] for dw in range(3)]
+        for dh in range(3):
+            for dw in range(3):
+                dense = shifted[dw][dh : dh + 2 * r_out]     # (2·r_out, W_f, hd_p)
+                rows = dense.reshape(r_out, 2, w_f, hd_p)[:, 0]
+                acc = acc + wconv_ref[dt, dh, dw].astype(f32) * rows
+    q = acc.reshape(r_out, w_o, 2, hd_p)[:, :, 0].reshape(r_out * w_o, hd_p)
+
+    if has_norm_q:
+        mean = jnp.sum(q, axis=-1, keepdims=True) / hd_real
+        var = jnp.sum(jnp.square(q), axis=-1, keepdims=True) / hd_real - jnp.square(mean)
+        q = (q - mean) * jax.lax.rsqrt(var + 1e-5)
+        q = q * nqs_ref[0].astype(f32) + nqb_ref[0].astype(f32)
+    qh = q.astype(out_ref.dtype)
+
+    logits = jax.lax.dot_general(
+        qh, k_ref[0, h], (((1,), (1,)), ((), ())), preferred_element_type=f32
+    ) * scale
+    lmax = jnp.max(logits, axis=-1, keepdims=True)
+    prob = jnp.exp(logits - lmax)
+    prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
+    av = jnp.dot(prob.astype(out_ref.dtype), v_ref[0, h], preferred_element_type=f32)
+    acc_scr[:] += jnp.dot(av.astype(out_ref.dtype), wproj_ref[h], preferred_element_type=f32)
+
+    @pl.when(h == heads - 1)
+    def _():
+        # MaxPool skip arrives pre-pooled from XLA (pool_tokens_max) — passing the
+        # raw fine planes cost two more halo views per step (VMEM + traffic)
+        res1 = skip_ref[0].astype(f32) + acc_scr[:] + bproj_ref[:].astype(f32)
+        mean2 = jnp.sum(res1, axis=-1, keepdims=True) / c_real
+        var2 = jnp.sum(jnp.square(res1), axis=-1, keepdims=True) / c_real - jnp.square(mean2)
+        xn2 = (res1 - mean2) * jax.lax.rsqrt(var2 + 1e-6)
+        xn2 = xn2 * ln2s_ref[:].astype(f32) + ln2b_ref[:].astype(f32)
+        xn2_16 = xn2.astype(out_ref.dtype)
+        hid_p2 = wfc1_ref.shape[1]
+        step = min(hid_p2, 1536)
+        mlp = jnp.zeros((res1.shape[0], out_ref.shape[-1]), f32) + bfc2_ref[:].astype(f32)
+        for s in range(0, hid_p2, step):
+            pre = (
+                jnp.dot(xn2_16, wfc1_ref[:, s : s + step], preferred_element_type=f32)
+                + bfc1_ref[:, s : s + step].astype(f32)
+            )
+            act = 0.5 * pre * (1.0 + _erf(pre * np.float32(1.0 / np.sqrt(2.0))))
+            mlp = mlp + jnp.dot(
+                act.astype(out_ref.dtype), wfc2_ref[s : s + step, :],
+                preferred_element_type=f32,
+            )
+        if has_res_proj:
+            base = (
+                jnp.dot(xn2_16, wres_ref[:], preferred_element_type=f32)
+                + bres_ref[:].astype(f32)
+            )
+        else:
+            base = res1
+        out_ref[0] = (base + mlp).astype(out_ref.dtype)
+
+
+def _pool_tile_plan(spec, thw):
+    """(r_out, tile, tiles_per_plane) over the POOLED grid, or None."""
+    t, h_f, w_f = thw
+    if h_f % 2 or w_f % 2:
+        return None
+    h_o, w_o = h_f // 2, w_f // 2
+    hidden = int(spec.dim * spec.mlp_ratio)
+    w_bytes = (spec.dim * hidden + hidden * spec.dim_out) * 2
+    if w_bytes > 8 * 2 ** 20:
+        return None  # dim-768 blocks: resident fc weights blow the VMEM stack
+    hd_p = _round_up(spec.head_dim, 128)
+    r = max(1, 256 // w_o)
+    # six q row-block views of 2r rows each, double-buffered: keep them ≤ ~4 MB
+    while r > 1 and 6 * spec.num_heads * (2 * r) * w_f * hd_p * 2 > 4 * 2 ** 20:
+        r //= 2
+    if r > h_o:
+        r = h_o
+    if h_o % r or (r * w_o) % 128:
+        return None
+    return r, r * w_o, h_o // r
+
+
+def pool_block_eligible(spec, mask, deterministic: bool, thw, lk: int) -> bool:
+    """Encoder Q-pool blocks: stride (1,2,2), MaxPool(1,3,3) skip, pooled KV whole
+    in VMEM per head."""
+    return (
+        spec.fused
+        and not spec.upsample_q
+        and spec.pool_q_on
+        and spec.skip_pool_on
+        and not spec.has_cls
+        and mask is None
+        and deterministic
+        and tuple(spec.stride_q) == (1, 2, 2)
+        and tuple(spec.kernel_q) == (3, 3, 3)
+        and tuple(spec.skip_kernel) == (1, 3, 3)
+        and spec.dim % spec.num_heads == 0
+        and spec.head_dim <= 128
+        and _pool_tile_plan(spec, thw) is not None
+        and lk <= 1024
+    )
+
+
+def _fused_pool_impl(q6, skip, k, v, p, spec, thw, interpret: bool):
+    """q6: (B, T, heads, H_f+RB, W_f, hd_p) FINE Q (post LN1+Wq+bias, PRE pool
+    conv) with rows padded (1 top zero, RB−1 bottom zeros), RB = 2·r_out; skip:
+    (B, L/4, C) the MaxPool residual, already pooled by XLA; k/v: (B, heads, Lk,
+    hd) pooled+normed. thw: the UNPADDED fine grid."""
+    b = q6.shape[0]
+    t_c, h_fd, w_fd = thw
+    c = spec.dim
+    heads, hd = spec.num_heads, spec.head_dim
+    r_out, tile, tiles_per_plane = _pool_tile_plan(spec, thw)
+    rb = 2 * r_out
+    assert q6.shape[3] == h_fd + rb, (q6.shape, thw, rb)
+    l_out = t_c * (h_fd // 2) * (w_fd // 2)
+
+    ws, cp, cop, has_res = _prep_tail_weights(p, spec, k.dtype)
+    hd_p = _round_up(hd, 128)
+    dt = k.dtype
+
+    wproj = p["attn"]["proj"]["w"].reshape(heads, hd, c)
+    wproj = jnp.pad(wproj, [(0, 0), (0, hd_p - hd), (0, cp - c)]).astype(dt)
+    bproj = jnp.pad(p["attn"]["proj"]["b"], (0, cp - c)).reshape(1, cp).astype(dt)
+    wconv = jnp.pad(p["attn"]["pool_q"].reshape(3, 3, 3, hd), [(0, 0)] * 3 + [(0, hd_p - hd)])
+    wconv = wconv.astype(dt)
+
+    has_norm_q = "norm_q" in p["attn"]
+    if has_norm_q:
+        nqs = jnp.pad(p["attn"]["norm_q"]["scale"], (0, hd_p - hd))
+        nqb = jnp.pad(p["attn"]["norm_q"]["bias"], (0, hd_p - hd))
+    else:
+        nqs = jnp.ones((hd_p,))
+        nqb = jnp.zeros((hd_p,))
+    nqs = nqs.reshape(1, 1, hd_p).astype(dt)
+    nqb = nqb.reshape(1, 1, hd_p).astype(dt)
+
+    kp = _pad_last(k, hd_p).astype(dt)
+    vp = _pad_last(v, hd_p).astype(dt)
+    lk = kp.shape[2]
+
+    kernel = functools.partial(
+        _pool_block_kernel,
+        heads=heads, hd_real=hd, c_real=c, scale=float(spec.scale),
+        has_res_proj=has_res, has_norm_q=has_norm_q,
+        t_c=t_c, h_f=h_fd, w_f=w_fd, r_out=r_out, tiles_per_plane=tiles_per_plane,
+    )
+
+    def qview(e_t, e_r):
+        # row-block views: (T plane t_o+e_t clamped) × (row block jt+e_r); bottom
+        # row padding guarantees jt+1 is always a valid block
+        return pl.BlockSpec(
+            (1, 1, heads, rb, w_fd, hd_p),
+            lambda i, j, h, e_t=e_t, e_r=e_r: (
+                i, jnp.clip(j // tiles_per_plane + e_t, 0, t_c - 1), 0,
+                j % tiles_per_plane + e_r, 0, 0,
+            ),
+            memory_space=pltpu.VMEM,
+        )
+
+    skip_p = _pad_last(skip, cp)
+
+    in_specs = [
+        qview(-1, 0), qview(-1, 1), qview(0, 0), qview(0, 1),
+        qview(1, 0), qview(1, 1),
+        pl.BlockSpec((1, tile, cp), lambda i, j, h: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j, h: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j, h: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, 3, hd_p), lambda i, j, h: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd_p), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd_p), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, hd_p, cp), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bproj.shape, lambda i, j, h: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in ws:
+        nd = w.ndim
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i, j, h, nd=nd: (0,) * nd, memory_space=pltpu.VMEM)
+        )
+
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, l_out // tile, heads),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, cop), lambda i, j, h: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l_out, cop), dt),
+        scratch_shapes=[pltpu.VMEM((tile, cp), jnp.float32)],
+        interpret=interpret,
+    )(q6, q6, q6, q6, q6, q6, skip_p, kp, vp, wconv, nqs, nqb, wproj, bproj, *ws)
+    return out[..., : spec.dim_out]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _fused_pool(q6, skip, k, v, p, spec, thw, interpret):
+    return _fused_pool_impl(q6, skip, k, v, p, spec, thw, interpret)
+
+
+def _pool_fwd(q6, skip, k, v, p, spec, thw, interpret):
+    return _fused_pool_impl(q6, skip, k, v, p, spec, thw, interpret), None
+
+
+def _pool_bwd(spec, thw, interpret, residuals, g):
+    raise NotImplementedError(
+        "fused Q-pool block is inference-only (dispatch gates on deterministic)"
+    )
+
+
+_fused_pool.defvjp(_pool_fwd, _pool_bwd)
+
+
+def fused_pool_block(q6_fine, skip_pooled, k_pooled, v_pooled, params, spec, thw,
+                     interpret: bool = False):
+    """Run an encoder Q-pool block through the fused kernel. See _fused_pool_impl
+    for layouts. Returns (B, L/4, dim_out)."""
+    return _fused_pool(q6_fine, skip_pooled, k_pooled, v_pooled, params, spec,
+                       tuple(thw), interpret)
 
 
 # ----------------------------------------------------------------------------------

@@ -26,6 +26,7 @@ converter straightforward.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Optional, Sequence, Tuple
 
 import jax
@@ -399,13 +400,13 @@ def _pooled_kv(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
     return k, v
 
 
-def _upsampled_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
+def _coarse_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
     """Phase 1 for the fused decoder kernel (kernels/block.py): LN1 + the Q slice of
-    the fused qkv projection + the subpixel transposed-conv upsample
-    (attention.py:251-289), emitted in TOKEN-major layout with each head padded into
-    its own 128-lane channel slot (pads zero — the conv's padded weight lanes are
-    zero). The pool-norm LayerNorm runs inside the kernel, so the conv output goes to
-    HBM exactly once and is never relaid out head-major."""
+    the fused qkv projection, emitted as a 5-D COARSE grid with each head padded
+    into its own 128k-lane channel slot (pads zero) and one zero row above/below —
+    the kernel's halo windows then never go out of range. The subpixel upsample
+    conv and the pool-norm LayerNorm run inside the kernel, so fine-resolution Q
+    never exists in HBM (attention.py:251-289)."""
     xn = ops.layer_norm(p["norm1"], x)
     wq = {"w": p["attn"]["qkv"]["w"][:, : spec.dim]}
     if "b" in p["attn"]["qkv"]:
@@ -417,15 +418,31 @@ def _upsampled_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
     q = q.reshape(b, l, heads, hd)
     q = jnp.pad(q, [(0, 0), (0, 0), (0, 0), (0, hd_p - hd)])
     t, h, w = thw
-    grid = q.reshape(b, t, h, w, heads * hd_p)
-    wconv = jnp.pad(p["attn"]["pool_q"], [(0, 0)] * 4 + [(0, hd_p - hd)])
-    wconv = jnp.tile(wconv, (1, 1, 1, 1, heads)) if heads > 1 else wconv
-    up = ops.depthwise_conv_transpose3d(
-        wconv.astype(grid.dtype), grid, spec.stride_q, spec.padding_q,
-        spec.output_padding_q,
-    )
-    t2, h2, w2 = up.shape[1:4]
-    return up.reshape(b, t2 * h2 * w2, heads * hd_p), (t2, h2, w2)
+    # heads-major 6-D layout (one coarse transpose — the kernel's views then carry
+    # all heads per block so their index maps don't depend on the head grid axis)
+    grid = q.reshape(b, t, h, w, heads, hd_p).transpose(0, 1, 4, 2, 3, 5)
+    return jnp.pad(grid, [(0, 0), (0, 0), (0, 0), (1, 1), (0, 0), (0, 0)])
+
+
+def _pool_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW, r_out: int):
+    """Fine-resolution Q in heads-major row-block layout for the fused Q-pool
+    kernel (kernels/block.py): LN1 + the Q slice of the qkv projection, heads
+    padded to 128k lanes, rows padded (1 zero top, 2·r_out−1 zeros bottom) so the
+    kernel's two-row-block halo windows are always whole blocks."""
+    xn = ops.layer_norm(p["norm1"], x)
+    wq = {"w": p["attn"]["qkv"]["w"][:, : spec.dim]}
+    if "b" in p["attn"]["qkv"]:
+        wq["b"] = p["attn"]["qkv"]["b"][: spec.dim]
+    q = ops.linear_apply(wq, xn)
+    b, l, _ = q.shape
+    hd, heads = spec.head_dim, spec.num_heads
+    hd_p = (hd + 127) // 128 * 128
+    q = q.reshape(b, l, heads, hd)
+    q = jnp.pad(q, [(0, 0), (0, 0), (0, 0), (0, hd_p - hd)])
+    t, h, w = thw
+    grid = q.reshape(b, t, h, w, heads, hd_p).transpose(0, 1, 4, 2, 3, 5)
+    rb = 2 * r_out
+    return jnp.pad(grid, [(0, 0), (0, 0), (0, 0), (1, rb - 1), (0, 0), (0, 0)])
 
 
 def _static_pool_out(thw: THW, kernel, stride, padding) -> THW:
@@ -500,9 +517,9 @@ def multiscale_block_apply(
         out = kb.fused_block(x, k, v, p, spec)
         return out, thw
 
-    # decoder (upsample-Q) blocks: one subpixel-conv write + one trilinear write in
-    # XLA, everything else (q-norm, 64-token attention, proj, residual, MLP tail)
-    # fused per fine-token tile
+    # decoder (upsample-Q) blocks: only the trilinear skip is materialized at fine
+    # resolution in XLA; the q upsample conv, pool norm, 64-token attention, proj,
+    # residual and MLP tail all run fused per fine-token tile
     if (
         spec.upsample_q
         and "pool_q" in p["attn"]
@@ -518,17 +535,41 @@ def multiscale_block_apply(
             if spec.pool_kv_on
             else thw
         )
-        l_fine = thw_f[0] * thw_f[1] * thw_f[2]
         lk = lk_thw[0] * lk_thw[1] * lk_thw[2]
-        if kb.decoder_eligible(spec, mask, deterministic, l_fine, lk):
+        if kb.decoder_eligible(spec, mask, True, thw_f, lk):
+            if deterministic:
+                return _decoder_kernel_forward(x, p, spec, thw, thw_f), thw_f
+            if spec.drop_path == 0.0 and ka.train_decoder_enabled():
+                # exact in training too (no stochastic depth in the decoder,
+                # custom_multimodal_builder.py:288); backward recomputes the
+                # composite block
+                return _decoder_block_ad(x, p, spec, thw, tuple(thw_f)), thw_f
+
+    # encoder Q-pool (stage-transition) blocks: LN1+Q-projection stay one XLA
+    # matmul; the q pool conv, pool norm, attention, MaxPool skip, residual and
+    # MLP tail run fused per coarse-row tile
+    if (
+        not spec.upsample_q
+        and spec.pool_q_on
+        and "pool_q" in p["attn"]
+        and ka.enabled()
+        and not return_attn
+        and reverse_split is None
+    ):
+        lk_thw = (
+            _static_pool_out(thw, spec.kernel_kv, spec.stride_kv, spec.padding_kv)
+            if spec.pool_kv_on
+            else thw
+        )
+        lk = lk_thw[0] * lk_thw[1] * lk_thw[2]
+        if kb.pool_block_eligible(spec, mask, deterministic, thw, lk):
+            r_out = kb._pool_tile_plan(spec, thw)[0]
             k, v = _pooled_kv(p, spec, x, thw)
-            q_fine, thw_q = _upsampled_q_slots(p, spec, x, thw)
-            if spec.skip_upsample_on:
-                skip, _ = upsample_tokens_trilinear(x, thw, spec.stride_q)
-            else:
-                skip = x
-            out = kb.fused_decoder_block(q_fine, skip, k, v, p, spec)
-            return out, thw_q
+            q6 = _pool_q_slots(p, spec, x, thw, r_out)
+            pad = tuple(int(kk // 2) for kk in spec.skip_kernel)
+            skip, _ = pool_tokens_max(x, thw, spec.skip_kernel, spec.stride_q, pad)
+            out = kb.fused_pool_block(q6, skip, k, v, p, spec, thw)
+            return out, (thw[0], thw[1] // 2, thw[2] // 2)
 
     # during training the attention kernel's VJP recomputes through the composite;
     # whether that wins is measured (tools/ab_train.py) and gated here
@@ -603,6 +644,49 @@ def multiscale_block_apply(
     if return_attn:
         return x, thw_new, attn
     return x, thw_new
+
+
+def _decoder_kernel_forward(x, p, spec, thw, thw_f):
+    """Assemble the fused decoder-block kernel's inputs (coarse Q slots, pooled
+    K/V, trilinear skip) and run it. thw/thw_f: coarse/fine grids."""
+    from csts_tpu.kernels import block as kb
+
+    k, v = _pooled_kv(p, spec, x, thw)
+    q6 = _coarse_q_slots(p, spec, x, thw)
+    if spec.skip_upsample_on:
+        skip, _ = upsample_tokens_trilinear(x, thw, spec.stride_q)
+    else:
+        skip = x
+    return kb.fused_decoder_block(q6, skip, k, v, p, spec, thw_f)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _decoder_block_ad(x, p, spec, thw, thw_f):
+    return _decoder_kernel_forward(x, p, spec, thw, thw_f)
+
+
+def _dec_ad_fwd(x, p, spec, thw, thw_f):
+    return _decoder_kernel_forward(x, p, spec, thw, thw_f), (x, p)
+
+
+def _dec_ad_bwd(spec, thw, thw_f, residuals, g):
+    """Recompute backward through the XLA composite block (valid because the
+    eligible decoder blocks have drop_path == 0, so the deterministic composite
+    IS the training forward)."""
+    import dataclasses as _dc
+
+    x, p = residuals
+    spec_nf = _dc.replace(spec, fused=False)
+
+    def comp(x_, p_):
+        out, _ = multiscale_block_apply(p_, spec_nf, x_, thw, deterministic=True)
+        return out
+
+    _, vjp = jax.vjp(comp, x, p)
+    return vjp(g)
+
+
+_decoder_block_ad.defvjp(_dec_ad_fwd, _dec_ad_bwd)
 
 
 # ----------------------------------------------------------------------------------

@@ -86,106 +86,6 @@ def conv3d(
     return out
 
 
-def _shift_depthwise_conv3d(w, x, stride, padding):
-    """Depthwise conv as fused shift-multiply-adds (the TPU workaround for XLA's
-    grouped-conv lowering, which expands depthwise convs to dense C×C matmuls —
-    measured 4-25x over bandwidth in tools/bench_ops.py). Each kernel tap becomes a
-    strided ``lax.slice`` of the padded input times a per-channel weight vector;
-    XLA fuses the k³ terms into one output-shaped loop. fp32 accumulation.
-
-    ``w``: (kT, kH, kW, 1, C); ``x``: (B, T, H, W, C)."""
-    kt, kh, kw = (int(d) for d in w.shape[:3])
-    st, sh, sw = (int(s) for s in stride)
-    pt, ph, pw = (int(p) for p in padding)
-    b, t, h, wd, c = x.shape
-    to = (t + 2 * pt - kt) // st + 1
-    ho = (h + 2 * ph - kh) // sh + 1
-    wo = (wd + 2 * pw - kw) // sw + 1
-    xp = jnp.pad(x, [(0, 0), (pt, pt), (ph, ph), (pw, pw), (0, 0)])
-    wv = w.reshape(kt, kh, kw, c).astype(jnp.float32)
-    acc = jnp.zeros((b, to, ho, wo, c), jnp.float32)
-    for dt in range(kt):
-        for dh in range(kh):
-            for dw in range(kw):
-                sl = lax.slice(
-                    xp,
-                    (0, dt, dh, dw, 0),
-                    (b, dt + (to - 1) * st + 1, dh + (ho - 1) * sh + 1,
-                     dw + (wo - 1) * sw + 1, c),
-                    (1, st, sh, sw, 1),
-                )
-                acc = acc + wv[dt, dh, dw] * sl.astype(jnp.float32)
-    return acc.astype(x.dtype)
-
-
-def _shift_depthwise_transpose3d(w, x, stride, padding, output_padding):
-    """Depthwise transposed conv via subpixel phases whose dense correlations are
-    shift-multiply-adds (see _shift_depthwise_conv3d for why not a grouped conv).
-    Same phase plan as the general subpixel path below."""
-    c = x.shape[-1]
-    k = tuple(int(d) for d in w.shape[:3])
-    stride = tuple(int(s) for s in stride)
-    padding = tuple(int(p) for p in padding)
-    output_padding = tuple(int(o) for o in output_padding)
-    plans = [
-        _transpose_phase_plan(k[d], stride[d], padding[d], output_padding[d], x.shape[1 + d])
-        for d in range(3)
-    ]
-    if any(pl is None for pl in plans) or max(stride) > 2:
-        return None
-    b = x.shape[0]
-    wv = w.reshape(*k, c)
-    phases = []
-    for rt in range(stride[0]):
-        for rh in range(stride[1]):
-            for rw in range(stride[2]):
-                sel = (plans[0][rt], plans[1][rh], plans[2][rw])
-                idxs = [
-                    [start - stride[d] * a for a in range(count)]
-                    for d, (start, count, _, _, _) in enumerate(sel)
-                ]
-                pads = [(pl[2], pl[3]) for pl in sel]
-                xp = jnp.pad(x, [(0, 0)] + list(pads) + [(0, 0)])
-                dims = [pl[4] for pl in sel]
-                acc = jnp.zeros((b, *dims, c), jnp.float32)
-                for a0, i0 in enumerate(idxs[0]):
-                    for a1, i1 in enumerate(idxs[1]):
-                        for a2, i2 in enumerate(idxs[2]):
-                            sl = lax.slice(
-                                xp,
-                                (0, a0, a1, a2, 0),
-                                (b, a0 + dims[0], a1 + dims[1], a2 + dims[2], c),
-                            )
-                            tap = wv[i0, i1, i2].astype(jnp.float32)
-                            acc = acc + tap * sl.astype(jnp.float32)
-                phases.append(acc.astype(x.dtype))
-    t0, h0, w0 = (pl[0][4] for pl in plans)
-    st, sh, sw = stride
-    out = jnp.stack(phases)
-    out = out.reshape(st, sh, sw, b, t0, h0, w0, c)
-    out = out.transpose(3, 4, 0, 5, 1, 6, 2, 7)
-    return out.reshape(b, t0 * st, h0 * sh, w0 * sw, c)
-
-
-def _stencil_dispatch(w, x, stride, padding, transpose: bool, output_padding=None):
-    """Route a depthwise conv away from XLA's grouped-conv lowering on TPU.
-
-    The shift-stack formulation above is the default. (A Pallas whole-plane stencil
-    kernel, kernels/stencil.py, was also built and measured SLOWER than even the
-    grouped-conv path at batch 32 — sublane-shifted window reads relayout per tap
-    and the fp32 plane temporaries blow the 16 MB VMEM budget at d3 — so it is not
-    dispatched.) Returns None to fall back to the native path."""
-    from csts_tpu.kernels import attention as ka
-
-    if not ka.enabled():
-        return None
-    if any(int(kd) > 3 for kd in w.shape[:3]):
-        return None
-    if transpose:
-        return _shift_depthwise_transpose3d(w, x, stride, padding, output_padding)
-    return _shift_depthwise_conv3d(w, x, stride, padding)
-
-
 def _depthwise_conv3d_xla(
     w: jax.Array,
     x: jax.Array,
@@ -218,13 +118,17 @@ def depthwise_conv3d(
     ``nn.Conv3d(head_dim, head_dim, groups=head_dim, bias=False)`` in
     ``attention.py:104-116`` — callers tile the per-head weight across heads so all
     heads run as one fused depthwise conv instead of a B*heads batched loop.
-    On TPU, eligible shapes run the Pallas stencil kernel instead of XLA's grouped
-    conv (see _stencil_dispatch); the backward differentiates the XLA formulation
-    (identical to pre-kernel training behavior).
+
+    Alternative lowerings were built and MEASURED SLOWER than XLA's grouped conv
+    at batch 32 (tools/bench_ops.py, round 2), then removed: a Pallas whole-plane
+    stencil kernel (pools 5.9→9.9 ms; fp32 plane temporaries + per-tap
+    sublane-shift relayouts OOM the 16 MB VMEM budget at the decoder d3 shape) and
+    fused shift-multiply-add stacks (pools 5.9→43.6 ms — XLA materializes every
+    strided slice). The real fix for the hot depthwise convs is consuming Q at
+    coarse resolution inside the fused decoder / Q-pool block kernels
+    (kernels/block.py); the remaining pool convs stay on this native path. The
+    custom VJP keeps the backward on the XLA formulation.
     """
-    out = _stencil_dispatch(w, x, stride, padding, transpose=False)
-    if out is not None:
-        return out
     return _depthwise_conv3d_xla(w, x, stride, padding)
 
 
@@ -354,18 +258,11 @@ def depthwise_conv_transpose3d(
 ) -> jax.Array:
     """Depthwise transposed conv (see _depthwise_conv_transpose3d_xla for the math).
 
-    On TPU, eligible shapes (k=3, p=1, s≤2, op=s−1) run the Pallas stencil kernel —
-    XLA's depthwise lowering measured 24-28 ms where ~1 ms of bandwidth is needed
-    (the decoder q-upsamples, tools/bench_ops.py). Backward differentiates the XLA
-    formulation."""
-    if tuple(int(o) for o in output_padding) == tuple(
-        0 if int(s) == 1 else int(s) - 1 for s in stride
-    ):
-        out = _stencil_dispatch(
-            w, x, stride, padding, transpose=True, output_padding=output_padding
-        )
-        if out is not None:
-            return out
+    The decoder q-upsamples that made this op hot (24-28 ms at batch 32 where
+    ~1 ms of bandwidth is needed) now run inside the fused decoder kernel
+    (kernels/block.py) and never reach this path at inference; see
+    depthwise_conv3d for the measured-slower alternative lowerings. Backward
+    differentiates the XLA formulation."""
     return _depthwise_conv_transpose3d_xla(w, x, stride, padding, output_padding)
 
 

@@ -169,12 +169,23 @@ def test_mlp_tail_matches_composite(rng, dim, dim_out, upsample):
 
 
 DEC_CASES = [
-    # (dim, dim_out, heads, thw, stride_q, stride_kv) — decoder blocks d1/d2 at
-    # flagship geometry and a temporal-upsample (d4-style) case at reduced grid
-    (768, 768, 8, (4, 8, 8), (1, 2, 2), (1, 2, 2)),
+    # (dim, dim_out, heads, thw, stride_q, stride_kv) — decoder block d2 at
+    # flagship geometry, a d3-style spatial case and a temporal-upsample
+    # (d4-style) case at reduced grid. d1 (768→768) is VMEM-ineligible by design
+    # (see kernels/block._decoder_tile_plan) — covered by test_decoder_d1_gated.
     (768, 384, 4, (4, 16, 16), (1, 2, 2), (1, 4, 4)),
-    (192, 96, 2, (4, 8, 8), (2, 1, 1), (1, 4, 4)),
+    (384, 192, 4, (4, 8, 16), (1, 2, 2), (1, 8, 8)),
+    (192, 96, 2, (4, 8, 16), (2, 1, 1), (1, 4, 4)),
 ]
+
+
+def test_decoder_d1_gated():
+    spec = AttentionSpec(
+        dim=768, dim_out=768, num_heads=8,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3), stride_q=(1, 2, 2),
+        stride_kv=(1, 2, 2), upsample_q=True, fused=True,
+    )
+    assert not kb.decoder_eligible(spec, None, True, (4, 16, 16), 64)
 
 
 @pytest.mark.parametrize("dim,dim_out,heads,thw,sq,skv", DEC_CASES)
@@ -193,14 +204,124 @@ def test_fused_decoder_block_matches_composite(rng, dim, dim_out, heads, thw, sq
     ka.set_enabled(None)
 
     k, v = mvit._pooled_kv(params, spec, x, thw)
-    q_fine, thw_q = mvit._upsampled_q_slots(params, spec, x, thw)
-    assert thw_q == ref_thw
+    q5 = mvit._coarse_q_slots(params, spec, x, thw)
+    thw_f = mvit._static_upsample_out(
+        thw, spec.kernel_q, spec.stride_q, spec.padding_q, spec.output_padding_q
+    )
+    assert thw_f == ref_thw
     skip, _ = mvit.upsample_tokens_trilinear(x, thw, sq)
-    lf = thw_q[0] * thw_q[1] * thw_q[2]
-    assert kb.decoder_eligible(spec, None, True, lf, k.shape[2])
-    out = kb.fused_decoder_block(q_fine, skip, k, v, params, spec, interpret=True)
+    assert kb.decoder_eligible(spec, None, True, thw_f, k.shape[2])
+    out = kb.fused_decoder_block(q5, skip, k, v, params, spec, thw_f, interpret=True)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+POOL_CASES = [
+    # (dim, dim_out, heads, thw, stride_kv) — encoder Q-pool stage transitions
+    # (video 1 / audio 1-2 geometry at reduced grids); stride_q is always (1,2,2)
+    (192, 192, 2, (4, 16, 32), (1, 4, 4)),
+    (192, 384, 2, (4, 16, 32), (1, 4, 4)),
+    (384, 384, 4, (4, 16, 32), (1, 2, 2)),
+]
+
+
+@pytest.mark.parametrize("dim,dim_out,heads,thw,skv", POOL_CASES)
+def test_fused_pool_block_matches_composite(rng, dim, dim_out, heads, thw, skv):
+    spec = AttentionSpec(
+        dim=dim, dim_out=dim_out, num_heads=heads,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3), stride_q=(1, 2, 2), stride_kv=skv,
+        fused=True,
+    )
+    params = make_block(jax.random.PRNGKey(9), spec)
+    l = thw[0] * thw[1] * thw[2]
+    x = jnp.asarray(rng.standard_normal((2, l, dim)) * 0.5, jnp.float32)
+
+    ka.set_enabled(False)
+    ref, ref_thw = mvit.multiscale_block_apply(params, spec, x, thw)
+    ka.set_enabled(None)
+
+    lk_thw = mvit._static_pool_out(thw, spec.kernel_kv, skv, spec.padding_kv)
+    lk = lk_thw[0] * lk_thw[1] * lk_thw[2]
+    assert kb.pool_block_eligible(spec, None, True, thw, lk)
+    r_out = kb._pool_tile_plan(spec, thw)[0]
+    k, v = mvit._pooled_kv(params, spec, x, thw)
+    q6 = mvit._pool_q_slots(params, spec, x, thw, r_out)
+    pad = tuple(int(kk // 2) for kk in spec.skip_kernel)
+    skip, _ = mvit.pool_tokens_max(x, thw, spec.skip_kernel, spec.stride_q, pad)
+    out = kb.fused_pool_block(q6, skip, k, v, params, spec, thw, interpret=True)
+    assert out.shape == ref.shape
+    assert ref_thw == (thw[0], thw[1] // 2, thw[2] // 2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_fused_pool_block_negative_inputs(rng):
+    """All-negative activations: the −1e30 MaxPool row padding must never win."""
+    spec = AttentionSpec(
+        dim=192, dim_out=192, num_heads=2,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3), stride_q=(1, 2, 2),
+        stride_kv=(1, 4, 4), fused=True,
+    )
+    params = make_block(jax.random.PRNGKey(10), spec)
+    thw = (4, 16, 32)
+    x = jnp.asarray(-1.0 - np.abs(rng.standard_normal((1, 2048, 192))), jnp.float32)
+    ka.set_enabled(False)
+    ref, _ = mvit.multiscale_block_apply(params, spec, x, thw)
+    ka.set_enabled(None)
+    r_out = kb._pool_tile_plan(spec, thw)[0]
+    k, v = mvit._pooled_kv(params, spec, x, thw)
+    q6 = mvit._pool_q_slots(params, spec, x, thw, r_out)
+    pad = tuple(int(kk // 2) for kk in spec.skip_kernel)
+    skip, _ = mvit.pool_tokens_max(x, thw, spec.skip_kernel, spec.stride_q, pad)
+    out = kb.fused_pool_block(q6, skip, k, v, params, spec, thw, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
+
+
+def test_decoder_block_training_grads(rng, monkeypatch):
+    """The decoder kernel's training path (_decoder_block_ad): forward == composite
+    (drop_path == 0 so the deterministic block IS the training block) and the
+    recompute backward matches composite autodiff for x and all params."""
+    dim, dim_out, heads, thw, sq, skv = DEC_CASES[2]
+    spec = AttentionSpec(
+        dim=dim, dim_out=dim_out, num_heads=heads,
+        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3), stride_q=sq, stride_kv=skv,
+        upsample_q=True, fused=True,
+    )
+    params = make_block(jax.random.PRNGKey(8), spec)
+    l = thw[0] * thw[1] * thw[2]
+    x = jnp.asarray(rng.standard_normal((1, l, dim)) * 0.5, jnp.float32)
+    thw_f = mvit._static_upsample_out(
+        thw, spec.kernel_q, spec.stride_q, spec.padding_q, spec.output_padding_q
+    )
+
+    orig = kb.fused_decoder_block
+    monkeypatch.setattr(
+        kb, "fused_decoder_block",
+        lambda *a, interpret=False: orig(*a, interpret=True),
+    )
+
+    def loss_fused(x, p):
+        return jnp.sum(jnp.square(mvit._decoder_block_ad(x, p, spec, thw, tuple(thw_f))))
+
+    def loss_ref(x, p):
+        ka.set_enabled(False)
+        out, _ = mvit.multiscale_block_apply(p, spec, x, thw, deterministic=False)
+        ka.set_enabled(None)
+        return jnp.sum(jnp.square(out))
+
+    (l_f, ), (l_r, ) = (jax.value_and_grad(loss_fused)(x, params)[:1],
+                        jax.value_and_grad(loss_ref)(x, params)[:1])
+    np.testing.assert_allclose(float(l_f), float(l_r), rtol=1e-5)
+    gx_f, gp_f = jax.grad(loss_fused, argnums=(0, 1))(x, params)
+    gx_r, gp_r = jax.grad(loss_ref, argnums=(0, 1))(x, params)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), atol=2e-3, rtol=2e-3)
+    for (path, a), (_, b) in zip(
+        jax.tree_util.tree_flatten_with_path(gp_f)[0],
+        jax.tree_util.tree_flatten_with_path(gp_r)[0],
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=2e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
 
 
 def _composite_tail_train(x, p, spec, dp_mask):

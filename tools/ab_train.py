@@ -76,14 +76,18 @@ def main():
         return dt
 
     ka.set_enabled(False)
-    dt_a = run("A composite (kernels off)     ")
+    dt_a = run("A composite (kernels off)       ")
     ka.set_enabled(True)
     ka.set_train_attention(False)
-    dt_b = run("B fused train tail only       ")
+    ka.set_train_decoder(False)
+    dt_b = run("B fused train tail only         ")
+    ka.set_train_decoder(True)
+    dt_c = run("C tail + decoder kernel         ")
     ka.set_train_attention(True)
-    dt_c = run("C tail + attn recompute kernel")
-    print(f"tail-only vs composite: {dt_a/dt_b:.3f}x", flush=True)
-    print(f"tail+attn vs composite: {dt_a/dt_c:.3f}x", flush=True)
+    dt_d = run("D tail + decoder + attn kernels ")
+    print(f"tail-only    vs composite: {dt_a/dt_b:.3f}x", flush=True)
+    print(f"tail+decoder vs composite: {dt_a/dt_c:.3f}x", flush=True)
+    print(f"all kernels  vs composite: {dt_a/dt_d:.3f}x", flush=True)
 
 
 if __name__ == "__main__":
