@@ -51,8 +51,11 @@ def set_enabled(value: Optional[bool]) -> None:
 
 
 # Whether the fused attention kernel also runs inside TRAINING forwards (its VJP
-# recomputes through the composite). Measured per-variant in tools/ab_train.py.
-_TRAIN_ATTN: bool = True
+# recomputes through the composite). Measured in tools/ab_train.py (batch 8 bf16,
+# in-process): composite 281.7 ms/step, +fused train tail 160.0, +decoder kernel
+# 174.4, +attention kernel 176.7 — so only the tail wins in training; the
+# recompute-VJP kernels lose their forward savings to the duplicated backward work.
+_TRAIN_ATTN: bool = False
 
 
 def train_attention_enabled() -> bool:
@@ -66,8 +69,8 @@ def set_train_attention(value: bool) -> None:
 
 # Same switch for the fused decoder-block kernel in TRAINING forwards (exact when
 # the block has no stochastic depth — the CSTS decoder ships drop_path=0; backward
-# recomputes through the composite block).
-_TRAIN_DECODER: bool = True
+# recomputes through the composite block). Measured OFF (see above).
+_TRAIN_DECODER: bool = False
 
 
 def train_decoder_enabled() -> bool:

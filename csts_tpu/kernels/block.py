@@ -1261,7 +1261,7 @@ def _mlp_tail_train_kernel(
         base = jnp.dot(xn16, wres_ref[:], preferred_element_type=f32) + bres_ref[:].astype(f32)
     else:
         base = x
-    out_ref[:] = (base + dp_ref[0, 0] * mlp).astype(out_ref.dtype)
+    out_ref[:] = (base + dp_ref[pl.program_id(0), 0] * mlp).astype(out_ref.dtype)
 
 
 def _mlp_tail_train_impl(x, p, dp_mask, spec, interpret: bool):
@@ -1274,12 +1274,16 @@ def _mlp_tail_train_impl(x, p, dp_mask, spec, interpret: bool):
     ws, cp, cop, has_res = _prep_tail_weights(p, spec, x.dtype)
     hid_p = ws[2].shape[1]  # padded hidden width (wfc1 is (Cp, HIDp))
     xp = _pad_last(x, cp)
-    dp = jnp.broadcast_to(dp_mask.astype(jnp.float32)[:, None], (b, 128))
+    # per-sample stochastic-depth multiplier as an SMEM scalar (a (1,128) VMEM
+    # block fails Mosaic's 8-sublane minimum on real hardware)
+    dp = dp_mask.astype(jnp.float32).reshape(b, 1)
     kernel = functools.partial(_mlp_tail_train_kernel, c_real=c, has_res_proj=has_res)
 
     in_specs = [
         pl.BlockSpec((1, tile, cp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 128), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
+        # whole (B,1) array as one SMEM block (SMEM blocks must cover the array);
+        # the kernel indexes it by the batch program id
+        pl.BlockSpec((b, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
     ]
     for w in ws:
         nd = w.ndim
