@@ -126,28 +126,14 @@ def depthwise_conv3d(
     fused shift-multiply-add stacks (pools 5.9→43.6 ms — XLA materializes every
     strided slice). The real fix for the hot depthwise convs is consuming Q at
     coarse resolution inside the fused decoder / Q-pool block kernels
-    (kernels/block.py). The remaining pool convs run as a DIAGONAL DENSE conv on
-    TPU: the per-channel taps are embedded on the diagonal of a (kT,kH,kW,C,C)
-    weight and the conv runs with feature_group_count=1 — mathematically
-    identical, and XLA lowers dense convs onto the MXU instead of the grouped
-    path's pathological expansion. The C² FLOPs are idle-MXU time on this
-    HBM-bound profile (measured: kv pool b1 3.9→~0.3 ms class savings). The
-    custom VJP keeps the backward on the XLA grouped formulation.
+    (kernels/block.py); everything else stays on this grouped path, which is the
+    best of FOUR measured lowerings at batch 32 (tools/bench_ops.py): grouped
+    (q-pool b1 5.9 ms) < diagonal-dense conv (taps on the diagonal of a
+    (3,3,3,C,C) weight, groups=1 — 7.2 ms, plus a ~1 h remote-compile stall on
+    the first diag shape) < Pallas whole-plane stencil (9.9 ms, VMEM OOM at the
+    decoder d3 shape) << shift-multiply-add stacks (43.6 ms). The custom VJP
+    keeps the backward on the grouped formulation too.
     """
-    from csts_tpu.kernels import attention as ka
-
-    c = x.shape[-1]
-    if ka.enabled() and c <= 768:
-        w_diag = w.reshape(*w.shape[:3], c)[..., :, None] * jnp.eye(c, dtype=w.dtype)
-        pad = [(int(p), int(p)) for p in padding]
-        return lax.conv_general_dilated(
-            x,
-            w_diag.astype(x.dtype),
-            window_strides=tuple(int(s) for s in stride),
-            padding=pad,
-            dimension_numbers=_DIMSPEC,
-            precision=_precision(x.dtype),
-        )
     return _depthwise_conv3d_xla(w, x, stride, padding)
 
 
