@@ -119,20 +119,20 @@ def depthwise_conv3d(
     ``attention.py:104-116`` — callers tile the per-head weight across heads so all
     heads run as one fused depthwise conv instead of a B*heads batched loop.
 
-    Alternative lowerings were built and MEASURED SLOWER than XLA's grouped conv
-    at batch 32 (tools/bench_ops.py, round 2), then removed: a Pallas whole-plane
-    stencil kernel (pools 5.9→9.9 ms; fp32 plane temporaries + per-tap
-    sublane-shift relayouts OOM the 16 MB VMEM budget at the decoder d3 shape) and
-    fused shift-multiply-add stacks (pools 5.9→43.6 ms — XLA materializes every
-    strided slice). The real fix for the hot depthwise convs is consuming Q at
-    coarse resolution inside the fused decoder / Q-pool block kernels
-    (kernels/block.py); everything else stays on this grouped path, which is the
-    best of FOUR measured lowerings at batch 32 (tools/bench_ops.py): grouped
-    (q-pool b1 5.9 ms) < diagonal-dense conv (taps on the diagonal of a
-    (3,3,3,C,C) weight, groups=1 — 7.2 ms, plus a ~1 h remote-compile stall on
-    the first diag shape) < Pallas whole-plane stencil (9.9 ms, VMEM OOM at the
-    decoder d3 shape) << shift-multiply-add stacks (43.6 ms). The custom VJP
-    keeps the backward on the grouped formulation too.
+    The real fix for the HOT depthwise convs is consuming Q at coarse resolution
+    inside the fused decoder / Q-pool block kernels (kernels/block.py);
+    everything else stays on this grouped path, which is the best of FIVE
+    lowerings measured at batch 32 (tools/bench_ops.py, round 2; the losers were
+    removed — git history has them): grouped (q-pool b1 5.9 ms) < diagonal-dense
+    conv (taps on the diagonal of a (3,3,3,C,C) weight, groups=1 — 7.2 ms, plus
+    a ~1 h remote-compile stall on the first diag shape) < Pallas whole-plane
+    stencil (9.9 ms; fp32 plane temporaries + per-tap sublane-shift relayouts
+    OOM the 16 MB VMEM budget at the decoder d3 shape) << shift-multiply-add
+    stacks (43.6 ms — XLA materializes every strided slice). A whole-grid
+    one-step-per-batch Pallas kernel for the small stage-2/3 K/V pool grids
+    measured NEUTRAL where it fit (kv-pool b4 1.08 vs 1.10 ms; the ~1 ms cost is
+    the surrounding head-layout relayouts, not the conv) and OOM'd at C=768.
+    The custom VJP keeps the backward on the grouped formulation.
     """
     return _depthwise_conv3d_xla(w, x, stride, padding)
 
