@@ -22,7 +22,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-BATCH = 64
+# Batch sweep on-chip (round 2): 64 → 151.7, 96 → 150.7, 128 → 165.5,
+# 192 → 152.7, 256 → 165.5 clips/s. Power-of-two batches tile better; 128 is
+# the knee (256 matches it with 2× the memory and latency).
+BATCH = 128
 WARMUP = 3
 ITERS = 20
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
