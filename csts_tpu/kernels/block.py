@@ -64,10 +64,11 @@ def eligible(spec, mask, deterministic: bool) -> bool:
         and deterministic  # inference-only: the recompute VJP loses to stored residuals
         and spec.dim % spec.num_heads == 0
         # Measured on-chip (tools/ab_block.py, batch 32 bf16, vs composite+fused
-        # attention+fused tail): 1-2 heads win 1.32-1.39x; 8-head dim-768 wins
-        # ~1.07x; but 4-head dim-384 L=1024 LOSES 2.6x (XLA pipelines the big
-        # batched matmuls better than the per-tile kernel there) — gate it out.
-        and (spec.num_heads <= 2 or spec.dim >= 768)
+        # attention+fused tail). Round 2 re-measure: 1 head d96 1.25-1.26x,
+        # 2 heads d192 1.24-1.32x WIN; 4-head d384 loses 2.6x; 8-head d768 now
+        # loses too (loop 0.84x, hg 0.65x — the round-1 1.07x predates the
+        # faster composite) — so only the 1-2 head blocks dispatch.
+        and spec.num_heads <= 2
     )
 
 

@@ -34,9 +34,9 @@ def test_fused_block_matches_composite(rng, dim, dim_out, heads, l, thw, stride_
         kernel_q=(), kernel_kv=(3, 3, 3), stride_q=(), stride_kv=stride_kv,
         fused=True,
     )
-    # dispatch eligibility gates 4-head dim-384 out for perf (see eligible());
+    # dispatch eligibility gates >2-head blocks out for perf (see eligible());
     # the kernel itself is correct for any head count — test them all
-    if heads <= 2 or dim >= 768:
+    if heads <= 2:
         assert kb.eligible(spec, None, True)
     params = make_block(jax.random.PRNGKey(0), spec)
     x = jnp.asarray(rng.standard_normal((2, l, dim)), jnp.float32)
