@@ -6,7 +6,7 @@ fork) and ``slowfast/visualization/utils.py:158-254`` confusion-matrix machinery
 
 from __future__ import annotations
 
-from typing import List, Sequence, Tuple
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp
