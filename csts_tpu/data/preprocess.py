@@ -268,6 +268,112 @@ def pack_clip(video_path: str, short_side: Optional[int] = None) -> str:
 
 
 # ----------------------------------------------------------------------------------
+# split CSVs (the experiment manifests the reference ships as data/*.csv)
+# ----------------------------------------------------------------------------------
+
+
+def parse_clip_window(clip_name: str) -> Optional[Tuple[int, int]]:
+    """``<stem>_t{start}_t{x}.mp4`` → (start_s, start_s + 5). Both naming schemes
+    (Ego4D ``t{s}_t{s+5}``, Aria ``t{s}_t{s+4}`` — end-1, preprocess.py:91-95)
+    denote a 5 s window starting at ``start``."""
+    stem = os.path.basename(clip_name)
+    if stem.endswith(".mp4"):
+        stem = stem[:-4]
+    parts = stem.rsplit("_t", 2)
+    if len(parts) != 3:
+        return None
+    try:
+        start = int(parts[1])
+        int(parts[2])
+    except ValueError:
+        return None
+    return start, start + 5
+
+
+def scan_clip_tree(clips_dir: str) -> dict:
+    """{video_id: [relative clip paths]} from a ``<root>/<vid>/<clip>.mp4`` tree.
+
+    Accepts real ``.mp4`` files and packed ``<clip>.mp4.frames.npy`` sidecars
+    (the tree the ``pack`` stage leaves behind when the source clips were
+    deleted), deduplicated to the ``.mp4``-relative path the split CSVs use."""
+    videos: dict = {}
+    for vid in sorted(os.listdir(clips_dir)):
+        vdir = os.path.join(clips_dir, vid)
+        if not os.path.isdir(vdir):
+            continue
+        rels = set()
+        for name in os.listdir(vdir):
+            if name.endswith(".mp4"):
+                rels.add(f"{vid}/{name}")
+            elif name.endswith(".mp4.frames.npy"):
+                rels.add(f"{vid}/{name[: -len('.frames.npy')]}")
+        if rels:
+            videos[vid] = sorted(rels)
+    return videos
+
+
+def make_splits(
+    videos: dict,
+    test_videos: Optional[set] = None,
+    test_fraction: float = 0.2,
+    seed: int = 42,
+    untracked: Optional[dict] = None,
+    skip_videos: Optional[set] = None,
+) -> Tuple[List[str], List[str], List[str]]:
+    """Assign whole videos to train/test and emit the clip manifests.
+
+    The reference's split is by VIDEO, never by clip (every ``<vid>/...`` path in
+    ``data/train_ego4d_gaze.csv`` belongs to a video absent from the test CSV) —
+    splitting by clip would leak temporally adjacent frames across the boundary.
+    ``test_videos`` pins the assignment explicitly (how the reference's own split
+    is reproduced); otherwise a seeded shuffle of the sorted video ids holds out
+    ``test_fraction`` of them. Clips overlapping an untracked-gaze interval are
+    dropped (belt and braces — ``trim`` already skips them, but pre-trimmed clip
+    trees may not have).
+
+    Returns (train_rels, test_rels, video_ids), each sorted like the reference's
+    CSVs (lexicographic).
+    """
+    ids = [v for v in sorted(videos) if not (skip_videos and f"{v}.mp4" in skip_videos)]
+    if test_videos is None:
+        order = list(ids)
+        np.random.default_rng(seed).shuffle(order)
+        n_test = max(1, int(round(len(order) * test_fraction))) if order else 0
+        test_videos = set(order[:n_test])
+    train_rels, test_rels = [], []
+    for vid in ids:
+        rels = videos[vid]
+        if untracked and vid in untracked:
+            kept = []
+            for rel in rels:
+                win = parse_clip_window(rel)
+                if win and any(not (win[1] < a or win[0] > b) for a, b in untracked[vid]):
+                    continue
+                kept.append(rel)
+            rels = kept
+        (test_rels if vid in test_videos else train_rels).extend(rels)
+    return sorted(train_rels), sorted(test_rels), ids
+
+
+def write_splits(
+    out_dir: str, dataset: str, train_rels: List[str], test_rels: List[str],
+    video_ids: List[str],
+) -> List[str]:
+    os.makedirs(out_dir, exist_ok=True)
+    written = []
+    for name, rows in (
+        (f"train_{dataset}_gaze.csv", train_rels),
+        (f"test_{dataset}_gaze.csv", test_rels),
+        (f"{dataset}_video_ids.txt", video_ids),
+    ):
+        path = os.path.join(out_dir, name)
+        with open(path, "w") as f:
+            f.write("\n".join(rows) + ("\n" if rows else ""))
+        written.append(path)
+    return written
+
+
+# ----------------------------------------------------------------------------------
 # CLI
 # ----------------------------------------------------------------------------------
 
@@ -288,6 +394,20 @@ def main(argv=None):
     p_pack.add_argument("--input", required=True)
     p_pack.add_argument("--short-side", type=int, default=320,
                         help="downscale so augmentation never upsamples (0 = keep)")
+
+    p_splits = sub.add_parser(
+        "splits", help="emit train/test split CSVs + video-id list from a clip tree"
+    )
+    p_splits.add_argument("--clips", required=True, help="trimmed clip tree <root>/<vid>/*.mp4")
+    p_splits.add_argument("--output", required=True, help="directory for the CSVs (DATA.PATH_TO_DATA_DIR)")
+    p_splits.add_argument("--dataset", choices=("ego4d", "aria"), required=True)
+    p_splits.add_argument("--test-videos", default=None,
+                          help="file of video ids held out for test (one per line); "
+                               "omit for a seeded test-fraction split")
+    p_splits.add_argument("--test-fraction", type=float, default=0.2)
+    p_splits.add_argument("--seed", type=int, default=42)
+    p_splits.add_argument("--untracked-csv", default=None,
+                          help="ego4d_gaze_untracked.csv — drop clips overlapping untracked gaze")
 
     p_trim = sub.add_parser("trim", help="cut source videos into 5s clips")
     p_trim.add_argument("--input", required=True)
@@ -324,6 +444,22 @@ def main(argv=None):
                 if not name.endswith(".mp4"):
                     continue
                 print(pack_clip(os.path.join(root, name), args.short_side or None))
+    elif args.stage == "splits":
+        test_videos = None
+        if args.test_videos:
+            with open(args.test_videos) as f:
+                test_videos = {line.strip() for line in f if line.strip()}
+        untracked = parse_untracked_csv(args.untracked_csv) if args.untracked_csv else None
+        skip = EGO4D_SKIP_VIDEOS if args.dataset == "ego4d" else None
+        videos = scan_clip_tree(args.clips)
+        train_rels, test_rels, ids = make_splits(
+            videos, test_videos=test_videos, test_fraction=args.test_fraction,
+            seed=args.seed, untracked=untracked, skip_videos=skip,
+        )
+        for path in write_splits(args.output, args.dataset, train_rels, test_rels, ids):
+            print(path)
+        print(f"# {len(train_rels)} train / {len(test_rels)} test clips over {len(ids)} videos",
+              file=sys.stderr)
     elif args.stage == "trim":
         untracked = parse_untracked_csv(args.untracked_csv) if args.untracked_csv else {}
         for name in sorted(os.listdir(args.input)):

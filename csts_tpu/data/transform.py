@@ -142,6 +142,7 @@ def spatial_sampling_fused(
     rng: Optional[np.random.Generator],
     mean,
     std,
+    normalize: bool = True,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Fused-fast-path equivalent of normalize + :func:`spatial_sampling_gaze`.
 
@@ -150,11 +151,19 @@ def spatial_sampling_fused(
     the reference's normalize-then-resize order), then crop + flip + (x−mean)/std run
     as ONE native pass (csts_tpu.native). Consumes the rng in the same order as the
     non-fused path, so augmentation choices are identical for a given seed.
+
+    ``normalize=False`` keeps uint8 frames uint8 end-to-end (resize included) and
+    skips the /255 + mean/std affine — the device-side-normalization transfer
+    path (DATA_LOADER.UINT8_TRANSFER): 4× less h2d per clip, with the affine
+    folded into the jitted step (csts_apply normalizes integer inputs). The only
+    numerical difference is cv2's uint8 rounding in the resize (≤0.5/255 per
+    pixel); with no resize the paths are bit-identical.
     """
     from csts_tpu import native
 
     assert spatial_idx in (-1, 0, 1, 2)
-    if frames.dtype == np.uint8:
+    keep_uint8 = not normalize and frames.dtype == np.uint8
+    if frames.dtype == np.uint8 and not keep_uint8:
         frames = frames.astype(np.float32) / 255.0
     if spatial_idx == -1:
         size = int(round(rng.uniform(min_scale, max_scale)))
@@ -179,7 +188,14 @@ def spatial_sampling_fused(
             x0 = 0 if spatial_idx == 0 else (w - crop_size if spatial_idx == 2 else x0)
         flip = False
 
-    out = native.fused_crop_flip_normalize(frames, y0, x0, crop_size, flip, mean, std)
+    if keep_uint8:
+        out = frames[:, y0 : y0 + crop_size, x0 : x0 + crop_size, :]
+        out = np.ascontiguousarray(out[:, :, ::-1, :] if flip else out)
+    elif not normalize:
+        crop = frames[:, y0 : y0 + crop_size, x0 : x0 + crop_size, :]
+        out = np.ascontiguousarray(crop[:, :, ::-1, :] if flip else crop)
+    else:
+        out = native.fused_crop_flip_normalize(frames, y0, x0, crop_size, flip, mean, std)
     out_gaze = gaze_loc.copy()
     gx = np.clip((gaze_x - x0) / crop_size, 0, 1)
     out_gaze[:, 0] = (1 - gx) if flip else gx

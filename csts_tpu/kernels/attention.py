@@ -202,6 +202,142 @@ def _composite_probs(q, k, scale, mask):
     return jax.nn.softmax(logits, axis=-1)
 
 
+def _flash_bwd_kernel(q_ref, k_ref, v_ref, out_ref, g_ref, kmask_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale: float, with_kmask: bool):
+    """One (batch·head, q-tile) backward step, probabilities VMEM-resident.
+
+    dk/dv blocks revisit the same (lk, hd) slot on every q-tile step — TPU grid
+    steps are sequential, so zero-at-first-tile + accumulate is race-free. The
+    pl.when closure only zero-fills (captures refs, never traced values — the
+    round-2 Mosaic gotcha).
+    """
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        dk_ref[:] = jnp.zeros_like(dk_ref)
+        dv_ref[:] = jnp.zeros_like(dv_ref)
+
+    q = q_ref[:]
+    k = k_ref[:]
+    logits = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    if with_kmask:
+        logits = logits + kmask_ref[:]
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+
+    g32 = g_ref[:].astype(jnp.float32)
+    delta = jnp.sum(g32 * out_ref[:].astype(jnp.float32), axis=-1, keepdims=True)
+    dp = jax.lax.dot_general(  # g · vᵀ : (blk, lk)
+        g32, v_ref[:], dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dl = p * (dp - delta)
+    dq = jax.lax.dot_general(  # dl · k : (blk, hd)
+        dl, k, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dq_ref[:] = dq
+    dk_ref[:] += jax.lax.dot_general(  # dlᵀ · q : (lk, hd)
+        dl, q, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dv_ref[:] += jax.lax.dot_general(  # pᵀ · g : (lk, hd)
+        p, g32, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _flash_bwd_impl(q, k, v, out, g, scale: float, interpret: bool):
+    """Stored-residual backward (save out, recompute probs IN VMEM only).
+
+    The XLA-recompute backward materializes the fp32 (B, N, Lq, Lk) probability
+    tensor in HBM (~134 MB per stem-scale block at batch 8) — measured to cancel
+    the forward kernel's win in training (ab_train.py round 2: 176.7 vs 160.0
+    ms/step). Here the probabilities are rebuilt per q-tile from q·kᵀ exactly as
+    the forward computed them (same single-pass softmax ⇒ same fp32 values) and
+    never leave VMEM; HBM traffic is just q/k/v/out/g in, dq/dk/dv out.
+    Unmasked path only — masked (fusion) blocks fall back to the XLA backward.
+    """
+    b, n, lq, hd_orig = q.shape
+    lk = k.shape[2]
+    blk_q = _pick_block_q(lq)
+    bn = b * n
+    hd = _round_up(hd_orig, 128)
+    if hd != hd_orig:
+        pad = [(0, 0)] * 3 + [(0, hd - hd_orig)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        out, g = jnp.pad(out, pad), jnp.pad(g, pad)
+    lq_orig, lk_orig = lq, lk
+    lq = _round_up(lq, 16)
+    lk = _round_up(lk, 16)
+    if lq != lq_orig:
+        pad = [(0, 0), (0, 0), (0, lq - lq_orig), (0, 0)]
+        q, out, g = jnp.pad(q, pad), jnp.pad(out, pad), jnp.pad(g, pad)
+        blk_q = _pick_block_q(lq)
+    kmask = None
+    if lk != lk_orig:
+        pad = [(0, 0), (0, 0), (0, lk - lk_orig), (0, 0)]
+        k, v = jnp.pad(k, pad), jnp.pad(v, pad)
+        kmask = jnp.full((blk_q, lk), 0.0, jnp.float32).at[:, lk_orig:].set(-1e9)
+
+    qf = q.reshape(bn, lq, hd)
+    kf = k.reshape(bn, lk, hd)
+    vf = v.reshape(bn, lk, hd)
+    outf = out.reshape(bn, lq, hd)
+    gf = g.reshape(bn, lq, hd)
+
+    with_kmask = kmask is not None
+    in_specs = [
+        pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, kf, vf, outf, gf]
+    if with_kmask:
+        in_specs.append(pl.BlockSpec((blk_q, lk), lambda i, j: (0, 0), memory_space=pltpu.VMEM))
+        operands.append(kmask)
+
+    def kernel(*refs):
+        if with_kmask:
+            q_ref, k_ref, v_ref, o_ref, g_ref, km_ref, dq_ref, dk_ref, dv_ref = refs
+        else:
+            q_ref, k_ref, v_ref, o_ref, g_ref, dq_ref, dk_ref, dv_ref = refs
+            km_ref = None
+        _flash_bwd_kernel(
+            q_ref.at[0], k_ref.at[0], v_ref.at[0], o_ref.at[0], g_ref.at[0],
+            km_ref, dq_ref.at[0], dk_ref.at[0], dv_ref.at[0],
+            scale=scale, with_kmask=with_kmask,
+        )
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(bn, lq // blk_q),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, blk_q, hd), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lk, hd), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bn, lq, hd), jnp.float32),
+            jax.ShapeDtypeStruct((bn, lk, hd), jnp.float32),
+            jax.ShapeDtypeStruct((bn, lk, hd), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    dq = dq.reshape(b, n, lq, hd)[:, :, :lq_orig, :hd_orig]
+    dk = dk.reshape(b, n, lk, hd)[:, :, :lk_orig, :hd_orig]
+    dv = dv.reshape(b, n, lk, hd)[:, :, :lk_orig, :hd_orig]
+    return dq, dk, dv
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def _fused_attention(q, k, v, scale, has_mask, interpret, mask):
     del has_mask
@@ -210,11 +346,14 @@ def _fused_attention(q, k, v, scale, has_mask, interpret, mask):
 
 def _fwd(q, k, v, scale, has_mask, interpret, mask):
     out = _fused_attention_fwd_impl(q, k, v, mask, scale, interpret)
-    return out, (q, k, v, mask)
+    return out, (q, k, v, mask, out)
 
 
 def _bwd(scale, has_mask, interpret, residuals, g):
-    q, k, v, mask = residuals
+    q, k, v, mask, out = residuals
+    if mask is None and (enabled() or interpret):
+        dq, dk, dv = _flash_bwd_impl(q, k, v, out, g, scale, interpret)
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
     p = _composite_probs(q, k, scale, mask)  # recompute (B, N, Lq, Lk) fp32
     g32 = g.astype(jnp.float32)
     v32 = v.astype(jnp.float32)

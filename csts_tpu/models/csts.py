@@ -60,6 +60,10 @@ class CSTSSpec:
     # losses
     use_nce: bool
     nce_embed_dim: int = 256
+    # input normalization, applied on-device when the feed ships raw uint8 frames
+    # (DATA_LOADER.UINT8_TRANSFER; host-side path: datasets/utils.py:290-307)
+    data_mean: Tuple[float, ...] = (0.45, 0.45, 0.45)
+    data_std: Tuple[float, ...] = (0.225, 0.225, 0.225)
     # compute
     dtype: str = "float32"
     # jax.checkpoint (rematerialization) around encoder blocks — MODEL.ACT_CHECKPOINT
@@ -284,6 +288,8 @@ def build_spec(cfg: Config) -> CSTSSpec:
         spatial_audio_attn=cfg.MVIT.SPATIAL_AUDIO_ATTN,
         decoder_blocks=decoder_blocks,
         use_nce="nce" in cfg.MODEL.LOSS_FUNC,
+        data_mean=tuple(float(m) for m in cfg.DATA.MEAN),
+        data_std=tuple(float(s) for s in cfg.DATA.STD),
         dtype="bfloat16" if cfg.TRAIN.MIXED_PRECISION else "float32",
         remat=cfg.MODEL.ACT_CHECKPOINT,
     )
@@ -415,7 +421,15 @@ def csts_apply(
         if capture is not None:
             capture[name] = value
     cdt = spec.compute_dtype
-    video = video.astype(cdt)
+    if jnp.issubdtype(video.dtype, jnp.integer):
+        # raw-uint8 feed (DATA_LOADER.UINT8_TRANSFER): fold /255 + mean/std into
+        # the step — XLA fuses this into the patch-embed conv's input read
+        # (host-side equivalent: datasets/utils.py:290-307 tensor_normalize)
+        mean = jnp.asarray(spec.data_mean, cdt)
+        std = jnp.asarray(spec.data_std, cdt)
+        video = (video.astype(cdt) / 255.0 - mean) / std
+    else:
+        video = video.astype(cdt)
     audio = audio.astype(cdt)
 
     x = _patch_embed(params["patch_embed"], spec, video)

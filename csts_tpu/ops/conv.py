@@ -20,7 +20,6 @@ Numerical-parity notes (validated against torch CPU in tests/test_ops_parity.py)
 
 from __future__ import annotations
 
-import functools
 from typing import Sequence
 
 import jax
@@ -105,7 +104,6 @@ def _depthwise_conv3d_xla(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def depthwise_conv3d(
     w: jax.Array,
     x: jax.Array,
@@ -132,22 +130,9 @@ def depthwise_conv3d(
     one-step-per-batch Pallas kernel for the small stage-2/3 K/V pool grids
     measured NEUTRAL where it fit (kv-pool b4 1.08 vs 1.10 ms; the ~1 ms cost is
     the surrounding head-layout relayouts, not the conv) and OOM'd at C=768.
-    The custom VJP keeps the backward on the grouped formulation.
+    JAX differentiates the grouped formulation directly.
     """
     return _depthwise_conv3d_xla(w, x, stride, padding)
-
-
-def _dwc_fwd(w, x, stride, padding):
-    return depthwise_conv3d(w, x, stride, padding), (w, x)
-
-
-def _dwc_bwd(stride, padding, residuals, g):
-    w, x = residuals
-    _, vjp = jax.vjp(lambda w_, x_: _depthwise_conv3d_xla(w_, x_, stride, padding), w, x)
-    return vjp(g)
-
-
-depthwise_conv3d.defvjp(_dwc_fwd, _dwc_bwd)
 
 
 def _transpose_phase_plan(k: int, s: int, p: int, op: int, l: int):
@@ -253,7 +238,6 @@ def _depthwise_conv_transpose3d_xla(
     )
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
 def depthwise_conv_transpose3d(
     w: jax.Array,
     x: jax.Array,
@@ -266,27 +250,9 @@ def depthwise_conv_transpose3d(
     The decoder q-upsamples that made this op hot (24-28 ms at batch 32 where
     ~1 ms of bandwidth is needed) now run inside the fused decoder kernel
     (kernels/block.py) and never reach this path at inference; see
-    depthwise_conv3d for the measured-slower alternative lowerings. Backward
-    differentiates the XLA formulation."""
+    depthwise_conv3d for the measured-slower alternative lowerings. JAX
+    differentiates the subpixel/XLA formulation directly."""
     return _depthwise_conv_transpose3d_xla(w, x, stride, padding, output_padding)
-
-
-def _dwt_fwd(w, x, stride, padding, output_padding):
-    return depthwise_conv_transpose3d(w, x, stride, padding, output_padding), (w, x)
-
-
-def _dwt_bwd(stride, padding, output_padding, residuals, g):
-    w, x = residuals
-    _, vjp = jax.vjp(
-        lambda w_, x_: _depthwise_conv_transpose3d_xla(
-            w_, x_, stride, padding, output_padding
-        ),
-        w, x,
-    )
-    return vjp(g)
-
-
-depthwise_conv_transpose3d.defvjp(_dwt_fwd, _dwt_bwd)
 
 
 def max_pool3d(

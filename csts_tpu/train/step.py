@@ -58,8 +58,16 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: in
 
     ``accum_steps > 1`` splits the batch into micro-batches and scan-accumulates
     gradients before the single optimizer update — large effective batches within
-    one chip's HBM (a capability the reference lacks). Note the EgoNCE similarity
-    is then computed per micro-batch (contrastive negatives shrink accordingly).
+    one chip's HBM (a capability the reference lacks). With EgoNCE in the loss the
+    accumulation is GradCache-style two-pass so the contrastive negatives stay
+    GLOBAL over the effective batch (the whole point of the reference's
+    gradient-carrying gather, train_avgaze_net.py:82-88): pass A scans the
+    micro-batches forward-only to collect every embedding, the NCE loss and its
+    embedding cotangents are computed once over the full set, and pass B replays
+    each micro-batch (same per-micro RNG, so drop-path masks match) through a VJP
+    seeded with (kldiv_cotangent, α·dV_i, α·dA_i). Gradients equal the
+    single-big-batch program's (pinned by tests/test_train_components.py); cost is
+    one extra forward (~1.4× a plain micro-step).
     """
     solver = cfg.SOLVER
     alpha = cfg.MODEL.LOSS_ALPHA
@@ -102,6 +110,65 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: in
             (_, (stats, preds)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params, batch, rng
             )
+        elif use_nce:
+            micro = {
+                k: v.reshape(accum_steps, v.shape[0] // accum_steps, *v.shape[1:])
+                for k, v in batch.items()
+            }
+            rngs = jax.random.split(rng, accum_steps)
+
+            def micro_fwd(params, mb, mrng):
+                logits, v_embed, a_embed = csts_lib.csts_apply(
+                    params, spec, mb["video"], mb["audio"],
+                    deterministic=False, rng=mrng, return_embed=True,
+                )
+                preds = losses.frame_softmax(logits, temperature=2.0)
+                kl = losses.kldiv_loss(preds, mb["labels_hm"])
+                return (kl, v_embed, a_embed), preds
+
+            # Pass A: embeddings of every micro-batch, forward only.
+            def embed_pass(_, inputs):
+                mb, mrng = inputs
+                (_, v_embed, a_embed), _ = micro_fwd(state.params, mb, mrng)
+                return None, (v_embed, a_embed)
+
+            _, (v_all, a_all) = jax.lax.scan(embed_pass, None, (micro, rngs))
+            v_flat = v_all.reshape(-1, v_all.shape[-1])
+            a_flat = a_all.reshape(-1, a_all.shape[-1])
+
+            # NCE over the GLOBAL effective batch + its embedding cotangents.
+            def nce_of(v, a):
+                return losses.egonce_loss(losses.sim_matrix(v, a))
+
+            nce, (dv, da) = jax.value_and_grad(nce_of, argnums=(0, 1))(v_flat, a_flat)
+            dv = dv.reshape(v_all.shape)
+            da = da.reshape(a_all.shape)
+
+            # Pass B: per-micro VJP with the cached embedding cotangents.
+            def accum_nce(grads_acc, inputs):
+                mb, mrng, dv_i, da_i = inputs
+                (kl_i, v_i, a_i), vjp_fn, preds_i = jax.vjp(
+                    lambda p: micro_fwd(p, mb, mrng), state.params, has_aux=True
+                )
+                (grads_i,) = vjp_fn((
+                    jnp.asarray(1.0 / accum_steps, kl_i.dtype),
+                    (alpha * dv_i).astype(v_i.dtype),
+                    (alpha * da_i).astype(a_i.dtype),
+                ))
+                grads_acc = jax.tree_util.tree_map(jnp.add, grads_acc, grads_i)
+                return grads_acc, (kl_i, preds_i)
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            grads, (kl_stack, preds_stack) = jax.lax.scan(
+                accum_nce, zero_grads, (micro, rngs, dv, da)
+            )
+            kl_mean = jnp.mean(kl_stack)
+            stats = {
+                "kldiv_loss": kl_mean,
+                "egonce_loss": nce,
+                "loss": kl_mean + alpha * nce,
+            }
+            preds = preds_stack.reshape(-1, *preds_stack.shape[2:])
         else:
             micro = {
                 k: v.reshape(accum_steps, v.shape[0] // accum_steps, *v.shape[1:])

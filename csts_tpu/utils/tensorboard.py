@@ -79,15 +79,25 @@ class TensorboardWriter:
         # CLASS_NAMES_PATH json may be {name: id} or [names]; subsets are id lists
         # or {parent: [children ids]}.
         names = _load_json(getattr(cfg.TENSORBOARD, "CLASS_NAMES_PATH", ""))
+        num_classes = cfg.MODEL.NUM_CLASSES
         if isinstance(names, dict):
-            self.class_names = [None] * cfg.MODEL.NUM_CLASSES
+            self.class_names = [str(i) for i in range(num_classes)]
             for name, idx in names.items():
-                if 0 <= int(idx) < len(self.class_names):
+                if 0 <= int(idx) < num_classes:
                     self.class_names[int(idx)] = name
+        elif names:
+            # pad short lists with numeric ids so subset indexing can't IndexError
+            self.class_names = list(names) + [
+                str(i) for i in range(len(names), num_classes)
+            ]
         else:
             self.class_names = names
-        self.cm_subset = _load_json(getattr(cfg.TENSORBOARD.CONFUSION_MATRIX, "SUBSET_PATH", ""))
-        self.hist_subset = _load_json(getattr(cfg.TENSORBOARD.HISTOGRAM, "SUBSET_PATH", ""))
+        self.cm_subset = self._flatten_subset(
+            _load_json(getattr(cfg.TENSORBOARD.CONFUSION_MATRIX, "SUBSET_PATH", ""))
+        )
+        self.hist_subset = self._flatten_subset(
+            _load_json(getattr(cfg.TENSORBOARD.HISTOGRAM, "SUBSET_PATH", ""))
+        )
         try:
             from torch.utils.tensorboard import SummaryWriter
 
@@ -97,6 +107,20 @@ class TensorboardWriter:
             os.makedirs(log_dir, exist_ok=True)
             self._jsonl = open(os.path.join(log_dir, "scalars.jsonl"), "a")
             logger.info("tensorboard unavailable (%s); writing scalars.jsonl", e)
+
+    @staticmethod
+    def _flatten_subset(subset):
+        """Subset JSONs are flat id lists or {parent: [child ids]}; flatten the
+        dict form to the ordered union of child ids so plot_eval only sees ids."""
+        if isinstance(subset, dict):
+            seen, flat = set(), []
+            for children in subset.values():
+                for i in children:
+                    if int(i) not in seen:
+                        seen.add(int(i))
+                        flat.append(int(i))
+            return flat
+        return subset
 
     def add_scalars(self, data_dict: Dict[str, float], global_step: Optional[int] = None):
         """(tensorboard_vis.py:90-99)"""

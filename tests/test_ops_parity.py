@@ -73,16 +73,6 @@ def test_depthwise_conv3d_vs_torch(c, kernel, stride):
     out = np.asarray(ops.depthwise_conv3d(w, to_jax_ndhwc(x), stride, padding))
     np.testing.assert_allclose(out, ref, atol=ATOL)
 
-    # the TPU dispatch runs the same op as a diagonal DENSE conv — force it here
-    from csts_tpu.kernels import attention as ka
-
-    ka.set_enabled(True)
-    try:
-        out_diag = np.asarray(ops.depthwise_conv3d(w, to_jax_ndhwc(x), stride, padding))
-    finally:
-        ka.set_enabled(None)
-    np.testing.assert_allclose(out_diag, ref, atol=ATOL)
-
 
 @pytest.mark.parametrize(
     "c,stride",

@@ -65,6 +65,49 @@ def test_fused_gradients_match(rng):
         np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-4)
 
 
+def test_flash_bwd_padded_shapes(rng):
+    """Gradient parity through the flash backward kernel at shapes needing
+    head-dim (96→128) and KV (250→256) padding — padded rows/cols must
+    contribute exactly zero to dq/dk/dv."""
+    b, n, lq, lk, hd = 1, 2, 128, 250, 96
+    q = jnp.asarray(rng.standard_normal((b, n, lq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, lk, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, lk, hd)), jnp.float32)
+    scale = hd ** -0.5
+
+    def loss_fused(q, k, v):
+        return jnp.sum(jnp.square(ka.fused_attention(q, k, v, scale, interpret=True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(composite(q, k, v, scale)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-4)
+
+
+def test_masked_gradients_use_composite_fallback(rng):
+    """Masked (fusion) blocks keep the XLA recompute backward, including dmask."""
+    b, n, lq, lk, hd = 1, 2, 68, 68, 64
+    q = jnp.asarray(rng.standard_normal((b, n, lq, hd)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((b, n, lk, hd)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((b, n, lk, hd)), jnp.float32)
+    mask = jnp.asarray(np.asarray(mvit.build_inframe_mask((4, 4, 4), 4), np.float32))
+    scale = hd ** -0.5
+
+    def loss_fused(q, k, v):
+        return jnp.sum(jnp.square(ka.fused_attention(q, k, v, scale, mask, interpret=True)))
+
+    def loss_ref(q, k, v):
+        return jnp.sum(jnp.square(composite(q, k, v, scale, mask)))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for gf, gr in zip(g_fused, g_ref):
+        np.testing.assert_allclose(np.asarray(gf), np.asarray(gr), atol=1e-4, rtol=1e-4)
+
+
 def test_bf16_path(rng):
     b, n, lq, lk, hd = 1, 1, 256, 128, 96
     q = jnp.asarray(rng.standard_normal((b, n, lq, hd)), jnp.bfloat16)

@@ -62,6 +62,58 @@ def test_aria_frame_labels():
     assert (labels[1:, 2] == pp.GAZE_SACCADE).any()
 
 
+def test_parse_clip_window():
+    assert pp.parse_clip_window("vid_t10_t15.mp4") == (10, 15)
+    assert pp.parse_clip_window("movie_123_t4_t8.mp4") == (4, 9)  # Aria end-1 naming
+    assert pp.parse_clip_window("noclip.mp4") is None
+
+
+def test_splits_stage(tmp_path):
+    """splits: clip tree -> train/test CSVs in the reference's data/*.csv format
+    (relative <vid>/<clip>.mp4 paths, split by whole video, untracked clips
+    dropped, lexicographically sorted) — closes C29."""
+    clips = tmp_path / "clips.gaze"
+    for vid, starts in (("vidA", [0, 5, 10]), ("vidB", [0, 5]), ("vidC", [0])):
+        (clips / vid).mkdir(parents=True)
+        for s in starts:
+            (clips / vid / f"{vid}_t{s}_t{s+5}.mp4").write_bytes(b"")
+    # a packed-only tree entry (pack ran, source clip deleted)
+    (clips / "vidA" / "vidA_t15_t20.mp4.frames.npy").write_bytes(b"")
+    # a skip-listed video must be excluded entirely
+    skip_name = next(iter(pp.EGO4D_SKIP_VIDEOS))[:-4]
+    (clips / skip_name).mkdir()
+    (clips / skip_name / f"{skip_name}_t0_t5.mp4").write_bytes(b"")
+
+    videos = pp.scan_clip_tree(str(clips))
+    assert set(videos) == {"vidA", "vidB", "vidC", skip_name}
+    assert "vidA/vidA_t15_t20.mp4" in videos["vidA"]
+
+    untracked = {"vidA": [(4, 6)]}  # overlaps the t5_t10 (and t0_t5) windows
+    train, test, ids = pp.make_splits(
+        videos, test_videos={"vidB"}, untracked=untracked,
+        skip_videos=pp.EGO4D_SKIP_VIDEOS,
+    )
+    assert ids == ["vidA", "vidB", "vidC"]  # skip-listed video excluded
+    assert test == ["vidB/vidB_t0_t5.mp4", "vidB/vidB_t5_t10.mp4"]
+    # untracked [4,6] kills t0_t5 and t5_t10; t10_t15 and t15_t20 survive
+    assert train == ["vidA/vidA_t10_t15.mp4", "vidA/vidA_t15_t20.mp4", "vidC/vidC_t0_t5.mp4"]
+    # whole-video split: no video id appears on both sides
+    assert {p.split("/")[0] for p in train}.isdisjoint({p.split("/")[0] for p in test})
+
+    # seeded fraction split is deterministic and holds out >= 1 video
+    t1 = pp.make_splits(videos, test_fraction=0.34, seed=7)
+    t2 = pp.make_splits(videos, test_fraction=0.34, seed=7)
+    assert t1 == t2
+    assert t1[1]  # non-empty test
+
+    out = pp.write_splits(str(tmp_path / "splits"), "ego4d", train, test, ids)
+    assert [os.path.basename(p) for p in out] == [
+        "train_ego4d_gaze.csv", "test_ego4d_gaze.csv", "ego4d_video_ids.txt"
+    ]
+    lines = open(out[0]).read().splitlines()
+    assert lines == train
+
+
 def test_wav_roundtrip_stft(tmp_path):
     sr = 24000
     t = np.arange(sr) / sr

@@ -198,6 +198,45 @@ def test_gradient_accumulation_matches_full_batch(setup):
     assert np.abs(leaf1 - leaf2).max() < 1e-2
 
 
+def test_grad_accum_keeps_nce_negatives_global(setup):
+    """accum_steps=2 with kldiv+egonce == the single big-batch step: the two-pass
+    (GradCache) accumulation computes EgoNCE once over ALL micro-batch embeddings,
+    so the contrastive negatives stay global (the semantics of the reference's
+    gradient-carrying gather, train_avgaze_net.py:82-88). Drop-path is disabled to
+    make the two programs numerically identical up to fp32 summation order."""
+    cfg, spec, fresh_state, tx, _ = setup
+    import copy
+
+    cfg2 = copy.deepcopy(cfg)
+    cfg2.MVIT.DROPPATH_RATE = 0.0
+    spec2 = csts_lib.build_spec(cfg2)
+    state0, tx2 = step_lib.create_train_state(cfg2, spec2, jax.random.PRNGKey(0))
+    host = jax.tree_util.tree_map(np.asarray, state0)
+
+    rng = np.random.default_rng(11)
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch(rng, 8))
+
+    step_full = step_lib.make_train_step(cfg2, spec2, tx2, 10, accum_steps=1)
+    step_accum = step_lib.make_train_step(cfg2, spec2, tx2, 10, accum_steps=2)
+
+    def fresh():
+        return jax.tree_util.tree_map(jnp.asarray, host)
+
+    s1, stats1, preds1 = step_full(fresh(), batch, jax.random.PRNGKey(3))
+    s2, stats2, preds2 = step_accum(fresh(), batch, jax.random.PRNGKey(3))
+
+    # the NCE term itself must be the global-batch value, not a micro-batch mean
+    np.testing.assert_allclose(
+        float(stats1["egonce_loss"]), float(stats2["egonce_loss"]), rtol=1e-5
+    )
+    np.testing.assert_allclose(float(stats1["loss"]), float(stats2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(preds1), np.asarray(preds2), atol=1e-5)
+    for name in ("classifier", "vision_proj", "audio_proj"):
+        leaf1 = np.asarray(jax.tree_util.tree_leaves(s1.params[name])[0])
+        leaf2 = np.asarray(jax.tree_util.tree_leaves(s2.params[name])[0])
+        np.testing.assert_allclose(leaf1, leaf2, atol=2e-5)
+
+
 def test_model_parallel_forward_matches_replicated(setup):
     """2-way tensor parallelism over the model axis: shard qkv/mlp weights
     Megatron-style via param_sharding_rules and let XLA propagate — the forward must
