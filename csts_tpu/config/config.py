@@ -47,6 +47,10 @@ class TrainConfig:
     CHECKPOINT_EPOCH_RESET: bool = False
     CHECKPOINT_CLEAR_NAME_PATTERN: Tuple[str, ...] = ()
     MIXED_PRECISION: bool = False  # bf16 activations on TPU (no loss scaler needed)
+    # micro-batch gradient accumulation (new capability): effective batch =
+    # BATCH_SIZE, device batch = BATCH_SIZE / GRAD_ACCUM_STEPS. With kldiv+egonce
+    # the accumulation is two-pass so NCE negatives stay global (train/step.py).
+    GRAD_ACCUM_STEPS: int = 1
     # custom_config.py:18 — separate audio-branch init checkpoint
     AUDIO_CHECKPOINT_FILE_PATH: str = ""
 

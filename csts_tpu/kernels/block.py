@@ -654,9 +654,10 @@ def _decoder_kernel(
     heads: int, hd_real: int, c_real: int, scale: float,
     has_res_proj: bool, has_norm_q: bool,
     st: int, sh: int, sw: int, t_c: int, h_c: int, w_c: int,
-    r_fine: int, tiles_per_plane: int,
+    r_fine: int, tiles_per_plane: int, fold_heads: bool = False,
+    debug_skip: frozenset = frozenset(),
 ):
-    """One (batch, fine-row-tile, head) grid step.
+    """One (batch, fine-row-tile[, head]) grid step.
 
     q views: one (1, 1, heads, H_c+2, W_c, hd_p) ROW-padded coarse-Q block per
     T-offset in ``ets`` (clamped plane index; invalid planes re-zeroed here). The
@@ -670,49 +671,47 @@ def _decoder_kernel(
     TILE = r_fine·W_f fine tokens (whole fine rows of one fine T plane)."""
     nv = len(ets)
     qview_refs = refs[:nv]
-    (skip_ref, k_ref, v_ref, wconv_ref, nqs_ref, nqb_ref, wproj_ref, bproj_ref,
-     ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-     wres_ref, bres_ref, out_ref, acc_scr) = refs[nv:]
+    if fold_heads:
+        (skip_ref, k_ref, v_ref, wconv_ref, nqs_ref, nqb_ref, wproj_ref, bproj_ref,
+         ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+         wres_ref, bres_ref, out_ref) = refs[nv:]
+        acc_scr = None
+    else:
+        (skip_ref, k_ref, v_ref, wconv_ref, nqs_ref, nqb_ref, wproj_ref, bproj_ref,
+         ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+         wres_ref, bres_ref, out_ref, acc_scr) = refs[nv:]
     f32 = jnp.float32
     j = pl.program_id(1)
-    h = pl.program_id(2)
     t_f = j // tiles_per_plane
-    m = t_f // st
     c0 = (j % tiles_per_plane) * (r_fine // sh)  # first coarse row of this tile
     rc = r_fine // sh                            # coarse rows per spatial phase
     w_f = w_c * sw
     hd_p = qview_refs[0].shape[-1]
-
-    @pl.when(h == 0)
-    def _():
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
     views = dict(zip(ets, qview_refs))
 
-    def window(et):
-        # rows [c0−1, c0+rc+1) of coarse plane m+et for THIS head — the +1 row pad
-        # baked into the input makes the load always in-range; zero the plane if
-        # m+et is OOB. The three column-shifted (sublane) variants are hoisted and
-        # computed ONCE per window — re-slicing per tap relayouts every time.
-        win = views[et][0, 0, h, pl.ds(c0, rc + 2)]
-        valid = jnp.logical_and(m + et >= 0, m + et < t_c)
-        win = (win * valid.astype(win.dtype)).astype(f32)
-        winp = jnp.pad(win, ((0, 0), (1, 1), (0, 0)))
-        return {ew: winp[:, 1 + ew : 1 + ew + w_c, :] for ew in (-1, 0, 1)}
+    def window(et, h):
+        # rows [c0−1, c0+rc+1) of the PADDED coarse plane m+et for head h. The
+        # one zero plane/row/column baked into q6 on every side (models/mvit.py
+        # _coarse_q_slots) makes the load always in-range AND makes OOB taps read
+        # zeros, so there is no validity multiply or per-window pad here (each
+        # measured ~15-33 ms/block at batch 128). Column-shifted (sublane)
+        # variants are hoisted and computed ONCE per window.
+        win = views[et][0, 0, h, pl.ds(c0, rc + 2)].astype(f32)
+        return {ew: win[:, 1 + ew : 1 + ew + w_c, :] for ew in (-1, 0, 1)}
 
-    def build_q(r_t):
-        wins = {}
+    def build_q(r_t, h, wins):
         rows = []
         for r_h in range(sh):
             cols = []
             for r_w in range(sw):
                 acc = jnp.zeros((rc, w_c, hd_p), f32)
+                applied = 0
                 for dt in range(3):
                     if (r_t + 1 - dt) % st:
                         continue
                     et = (r_t + 1 - dt) // st
                     if et not in wins:
-                        wins[et] = window(et)
+                        wins[et] = window(et, h)
                     for dh in range(3):
                         if (r_h + 1 - dh) % sh:
                             continue
@@ -720,50 +719,66 @@ def _decoder_kernel(
                         for dw in range(3):
                             if (r_w + 1 - dw) % sw:
                                 continue
+                            if "qbuild" in debug_skip and applied:
+                                continue  # ablation: single-tap build
                             ew = (r_w + 1 - dw) // sw
                             sl = wins[et][ew][1 + eh : 1 + eh + rc]
                             acc = acc + wconv_ref[dt, dh, dw].astype(f32) * sl
+                            applied += 1
                 cols.append(acc)
             row = cols[0] if sw == 1 else jnp.stack(cols, axis=2).reshape(rc, w_f, hd_p)
             rows.append(row)
         full = rows[0] if sh == 1 else jnp.stack(rows, axis=1).reshape(rc * sh, w_f, hd_p)
         return full.reshape(r_fine * w_f, hd_p)
 
-    if st == 1:
-        q = build_q(0)
-    else:
-        # both T phases are cheap VPU work on small windows; select by plane parity
-        q = jnp.where(t_f % st == 0, build_q(0), build_q(1))
+    def head_contrib(h):
+        """Per-head: upsampled Q → pool-norm → attention → projected (TILE, Cp)."""
+        wins = {}
+        if "qwin" in debug_skip:
+            # ablation: no window loads/shifts at all — q is a constant
+            q = jnp.zeros((r_fine * w_f, hd_p), f32) + wconv_ref[0, 0, 0].astype(f32)
+        elif st == 1:
+            q = build_q(0, h, wins)
+        else:
+            # both T phases are cheap VPU work on small windows; select by parity
+            q = jnp.where(t_f % st == 0, build_q(0, h, wins), build_q(1, h, wins))
 
-    if has_norm_q:
-        # pool-norm LayerNorm over the REAL head dim (pads are zero), torch eps 1e-5
-        mean = jnp.sum(q, axis=-1, keepdims=True) / hd_real
-        var = jnp.sum(jnp.square(q), axis=-1, keepdims=True) / hd_real - jnp.square(mean)
-        q = (q - mean) * jax.lax.rsqrt(var + 1e-5)
-        q = q * nqs_ref[0].astype(f32) + nqb_ref[0].astype(f32)
-    qh = q.astype(out_ref.dtype)
+        if has_norm_q:
+            # pool-norm LayerNorm over the REAL head dim (pads zero), torch eps 1e-5
+            mean = jnp.sum(q, axis=-1, keepdims=True) / hd_real
+            var = jnp.sum(jnp.square(q), axis=-1, keepdims=True) / hd_real - jnp.square(mean)
+            q = (q - mean) * jax.lax.rsqrt(var + 1e-5)
+            q = q * nqs_ref[0].astype(f32) + nqb_ref[0].astype(f32)
+        qh = q.astype(out_ref.dtype)
 
-    logits = jax.lax.dot_general(
-        qh, k_ref[0, h], (((1,), (1,)), ((), ())), preferred_element_type=f32
-    ) * scale
-    lmax = jnp.max(logits, axis=-1, keepdims=True)
-    prob = jnp.exp(logits - lmax)
-    prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
-    av = jnp.dot(prob.astype(out_ref.dtype), v_ref[0, h], preferred_element_type=f32)
-    acc_scr[:] += jnp.dot(av.astype(out_ref.dtype), wproj_ref[h], preferred_element_type=f32)
+        if "attn" in debug_skip:
+            av = qh.astype(f32)  # ablation: bypass logits/softmax/PV
+        else:
+            logits = jax.lax.dot_general(
+                qh, k_ref[0, h], (((1,), (1,)), ((), ())), preferred_element_type=f32
+            ) * scale
+            lmax = jnp.max(logits, axis=-1, keepdims=True)
+            prob = jnp.exp(logits - lmax)
+            prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
+            av = jnp.dot(prob.astype(out_ref.dtype), v_ref[0, h], preferred_element_type=f32)
+        return jnp.dot(av.astype(out_ref.dtype), wproj_ref[h], preferred_element_type=f32)
 
-    @pl.when(h == heads - 1)
-    def _():
-        res1 = skip_ref[0].astype(f32) + acc_scr[:] + bproj_ref[:].astype(f32)
+    def tail(acc):
+        res1 = skip_ref[0].astype(f32) + acc + bproj_ref[:].astype(f32)
+        if "mlp" in debug_skip:
+            out_ref[0] = res1[:, : out_ref.shape[-1]].astype(out_ref.dtype)
+            return
         mean2 = jnp.sum(res1, axis=-1, keepdims=True) / c_real
         var2 = jnp.sum(jnp.square(res1), axis=-1, keepdims=True) / c_real - jnp.square(mean2)
         xn2 = (res1 - mean2) * jax.lax.rsqrt(var2 + 1e-6)
         xn2 = xn2 * ln2s_ref[:].astype(f32) + ln2b_ref[:].astype(f32)
         xn2_16 = xn2.astype(out_ref.dtype)
         # MLP chunked over the hidden dim: the fp32 GELU temporaries on a full
-        # (TILE, 3072) hidden put the d1 block 254 KB over the 16 MB VMEM stack
+        # (TILE, 3072) hidden put the d1 block 254 KB over the 16 MB VMEM stack.
+        # Bigger tiles take proportionally smaller chunks (~3 MB of fp32 hidden).
         hid_p = wfc1_ref.shape[1]
-        step = min(hid_p, 1536)
+        tile_rows = r_fine * w_f
+        step = min(hid_p, 1536 if tile_rows <= 512 else max(512, (3 * 2 ** 20) // (tile_rows * 4) // 128 * 128))
         mlp = jnp.zeros((res1.shape[0], out_ref.shape[-1]), f32) + bfc2_ref[:].astype(f32)
         for s in range(0, hid_p, step):
             pre = (
@@ -784,6 +799,38 @@ def _decoder_kernel(
             base = res1
         out_ref[0] = (base + mlp).astype(out_ref.dtype)
 
+    if fold_heads:
+        # heads looped in ONE grid step: no revisited accumulator block, one out
+        # write, heads× fewer grid steps (the d3/d4 grids were 16-33k steps)
+        acc = head_contrib(0)
+        for hh in range(1, heads):
+            acc = acc + head_contrib(hh)
+        tail(acc)
+    else:
+        h = pl.program_id(2)
+
+        @pl.when(h == 0)
+        def _():
+            acc_scr[:] = jnp.zeros_like(acc_scr)
+
+        acc_scr[:] += head_contrib(h)
+
+        @pl.when(h == heads - 1)
+        def _():
+            tail(acc_scr[:])
+
+
+# Experiment override for the decoder tile target (tools/ab_decoder.py): scales
+# the per-dim heuristic target (1 = shipped). Absolute targets OOM the 16 MB
+# VMEM budget on the dim-768 blocks (measured 20.96M at tile 1024 on d2).
+DEC_TILE_SCALE = 1
+
+# Kernel-internals ablation flags (tools/ab_decoder.py --ablate-kernel): members
+# of {"qbuild", "attn", "mlp"} replace that stage with near-free stand-ins at
+# trace time, so the per-stage cost of the decoder kernel is measurable on-chip.
+# NEVER set outside dev tools — results are numerically wrong by construction.
+DEC_DEBUG_SKIP: set = set()
+
 
 def _decoder_tile_plan(spec, thw_f):
     """(r_fine, tile, tiles_per_plane) — whole fine rows per tile, or None."""
@@ -799,6 +846,7 @@ def _decoder_tile_plan(spec, thw_f):
         # their composite is only 5.4 ms at batch 32. Not worth it.
         return None
     target = 512 if spec.dim <= 384 else (256 if w_bytes <= 6 * 2 ** 20 else 128)
+    target = int(target * DEC_TILE_SCALE)
     r = max(sh, target // w_f)
     if r > h_f:
         r = h_f
@@ -808,18 +856,24 @@ def _decoder_tile_plan(spec, thw_f):
 
 
 def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
-    """q6: (B, T_c, heads, H_c+2, W_c, hd_p) ROW-padded coarse Q (post LN1+Wq+bias,
-    PRE upsample conv), heads-major; skip: (B, L_f, C) trilinear residual;
-    k/v: (B, heads, Lk, hd) pooled+normed. The q upsample conv + pool norm run
-    inside the kernel, so fine-resolution Q never exists in HBM."""
+    """q6: (B, T_c+2, heads, H_c+2, W_c+2, hd_p) zero-halo-padded coarse Q (post
+    LN1+Wq+bias, PRE upsample conv), heads-major; skip: (B, L_f, C) trilinear
+    residual; k/v: (B, heads, Lk, hd) pooled+normed. The q upsample conv + pool
+    norm run inside the kernel, so fine-resolution Q never exists in HBM.
+
+    dim ≤ 384 blocks (d3/d4 — 16-33k grid steps at batch 128) fold the heads
+    into an in-kernel loop: heads× fewer grid steps, no revisited fp32
+    accumulator block, a single out write. The dim-768 blocks keep the heads
+    grid axis (folding their per-head temporaries overflows the 16 MB VMEM)."""
     b = q6.shape[0]
-    t_c, h_c, w_c = q6.shape[1], q6.shape[3] - 2, q6.shape[4]
+    t_c, h_c, w_c = q6.shape[1] - 2, q6.shape[3] - 2, q6.shape[4] - 2
     c = spec.dim
     heads, hd = spec.num_heads, spec.head_dim
     tfd, hfd, wfd = thw_f
     l = tfd * hfd * wfd
     r_fine, tile, tiles_per_plane = _decoder_tile_plan(spec, thw_f)
     st, sh, sw = (int(s) for s in spec.stride_q)
+    fold = spec.dim <= 384
     # T offsets actually used: stride-1 taps reach planes m−1..m+1; stride-2 phase
     # taps only m and m+1 (k=3, p=1, op=1)
     ets = (-1, 0, 1) if st == 1 else (0, 1)
@@ -860,44 +914,47 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
         has_res_proj=has_res, has_norm_q=has_norm_q,
         st=st, sh=sh, sw=sw, t_c=t_c, h_c=h_c, w_c=w_c,
         r_fine=r_fine, tiles_per_plane=tiles_per_plane,
+        fold_heads=fold,
+        debug_skip=frozenset(DEC_DEBUG_SKIP),
     )
 
+    def _bspec(shape, fn):
+        """BlockSpec whose index map matches the grid arity for this mode."""
+        if fold:
+            return pl.BlockSpec(shape, lambda i, j, fn=fn: fn(i, j), memory_space=pltpu.VMEM)
+        return pl.BlockSpec(shape, lambda i, j, h, fn=fn: fn(i, j), memory_space=pltpu.VMEM)
+
     def qview(e):
-        # head-independent index map: consecutive head/tile steps hit the same
-        # block, so Mosaic fetches each coarse plane once per fine T plane
-        return pl.BlockSpec(
-            (1, 1, heads, h_c + 2, w_c, hd_p),
-            lambda i, j, h, e=e: (
-                i,
-                jnp.clip(j // tiles_per_plane // st + e, 0, t_c - 1),
-                0, 0, 0, 0,
-            ),
-            memory_space=pltpu.VMEM,
+        # head-independent index map (all heads carried per block): consecutive
+        # tile/head steps hit the same block, so Mosaic fetches each coarse plane
+        # once per fine T plane. The +1 skips the baked leading zero plane; no
+        # clip needed (OOB offsets land on the zero planes).
+        return _bspec(
+            (1, 1, heads, h_c + 2, w_c + 2, hd_p),
+            lambda i, j, e=e: (i, j // tiles_per_plane // st + e + 1, 0, 0, 0, 0),
         )
 
     in_specs = [qview(e) for e in ets] + [
-        pl.BlockSpec((1, tile, cp), lambda i, j, h: (i, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j, h: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j, h: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 3, 3, hd_p), lambda i, j, h: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hd_p), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hd_p), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((heads, hd_p, cp), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(bproj.shape, lambda i, j, h: (0, 0), memory_space=pltpu.VMEM),
+        _bspec((1, tile, cp), lambda i, j: (i, j, 0)),
+        _bspec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0)),
+        _bspec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0)),
+        _bspec((3, 3, 3, hd_p), lambda i, j: (0, 0, 0, 0)),
+        _bspec((1, 1, hd_p), lambda i, j: (0, 0, 0)),
+        _bspec((1, 1, hd_p), lambda i, j: (0, 0, 0)),
+        _bspec((heads, hd_p, cp), lambda i, j: (0, 0, 0)),
+        _bspec(bproj.shape, lambda i, j: (0, 0)),
     ]
     for w in ws:
         nd = w.ndim
-        in_specs.append(
-            pl.BlockSpec(w.shape, lambda i, j, h, nd=nd: (0,) * nd, memory_space=pltpu.VMEM)
-        )
+        in_specs.append(_bspec(w.shape, lambda i, j, nd=nd: (0,) * nd))
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, l // tile, heads),
+        grid=(b, l // tile) if fold else (b, l // tile, heads),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile, cop), lambda i, j, h: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=_bspec((1, tile, cop), lambda i, j: (i, j, 0)),
         out_shape=jax.ShapeDtypeStruct((b, l, cop), dt),
-        scratch_shapes=[pltpu.VMEM((tile, cp), jnp.float32)],
+        scratch_shapes=[] if fold else [pltpu.VMEM((tile, cp), jnp.float32)],
         interpret=interpret,
     )(*([q6] * len(ets)), skip_p, kp, vp, wconv, nqs, nqb, wproj, bproj, *ws)
     return out[..., : spec.dim_out]

@@ -403,10 +403,12 @@ def _pooled_kv(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
 def _coarse_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
     """Phase 1 for the fused decoder kernel (kernels/block.py): LN1 + the Q slice of
     the fused qkv projection, emitted as a 5-D COARSE grid with each head padded
-    into its own 128k-lane channel slot (pads zero) and one zero row above/below —
-    the kernel's halo windows then never go out of range. The subpixel upsample
-    conv and the pool-norm LayerNorm run inside the kernel, so fine-resolution Q
-    never exists in HBM (attention.py:251-289)."""
+    into its own 128k-lane channel slot (pads zero) and one zero plane/row/column
+    on every spatial side — the kernel's halo windows then never go out of range
+    AND out-of-range taps read zeros directly, so the kernel does no validity
+    multiply or per-window pad (both measured ~33 ms at d3/batch 128). The
+    subpixel upsample conv and the pool-norm LayerNorm run inside the kernel, so
+    fine-resolution Q never exists in HBM (attention.py:251-289)."""
     xn = ops.layer_norm(p["norm1"], x)
     wq = {"w": p["attn"]["qkv"]["w"][:, : spec.dim]}
     if "b" in p["attn"]["qkv"]:
@@ -421,7 +423,7 @@ def _coarse_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
     # heads-major 6-D layout (one coarse transpose — the kernel's views then carry
     # all heads per block so their index maps don't depend on the head grid axis)
     grid = q.reshape(b, t, h, w, heads, hd_p).transpose(0, 1, 4, 2, 3, 5)
-    return jnp.pad(grid, [(0, 0), (0, 0), (0, 0), (1, 1), (0, 0), (0, 0)])
+    return jnp.pad(grid, [(0, 0), (1, 1), (0, 0), (1, 1), (1, 1), (0, 0)])
 
 
 def _pool_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW, r_out: int):

@@ -63,7 +63,9 @@ def train(cfg: Config) -> None:
     steps_per_epoch = max(len(train_loader), 1)
 
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
-    train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch)
+    train_step = step_lib.make_train_step(
+        cfg, spec, tx, steps_per_epoch, accum_steps=cfg.TRAIN.GRAD_ACCUM_STEPS
+    )
     eval_step = step_lib.make_eval_step(cfg, spec)
 
     train_meter = TrainGazeMeter(len(train_loader), cfg)
