@@ -446,6 +446,122 @@ def _fused_block_hg_impl(x, k, v, p, spec, interpret: bool):
     return out[..., : spec.dim_out]
 
 
+def _block_bd_kernel(
+    x_ref, kbd_ref, vbd_ref,
+    ln1s_ref, ln1b_ref, wq_ref, bq_ref, wproj_ref, bproj_ref,
+    ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
+    wres_ref, bres_ref,
+    out_ref,
+    *, heads: int, lk: int, c_real: int, scale: float, has_res_proj: bool,
+):
+    """One (batch, token-tile) grid step; ALL heads' attention as two
+    block-diagonal matmuls. kbd (heads·hd_p, heads·lk) / vbd (heads·lk,
+    heads·hd_p) are block-diagonal, so ``logits = q·kbd`` has column block h
+    equal to q_h·K_hᵀ and ``av = P·vbd`` has column block h equal to P_h·V_h —
+    one MXU-shaped matmul each instead of ``heads`` small ones (the per-head
+    loop and head-grid variants both measured slower at 4 heads). The off-block
+    zeros waste heads× FLOPs on the attention matmuls — cheap next to the MLP
+    at these shapes. Softmax runs per 128-aligned lane segment."""
+    f32 = jnp.float32
+    x = x_ref[0].astype(f32)
+    mean = jnp.sum(x, axis=-1, keepdims=True) / c_real
+    var = jnp.sum(jnp.square(x), axis=-1, keepdims=True) / c_real - jnp.square(mean)
+    xn = (x - mean) * jax.lax.rsqrt(var + 1e-6)
+    xn = xn * ln1s_ref[:].astype(f32) + ln1b_ref[:].astype(f32)
+    xn16 = xn.astype(x_ref.dtype)
+
+    q = (
+        jnp.dot(xn16, wq_ref[:], preferred_element_type=f32) + bq_ref[:].astype(f32)
+    ).astype(x_ref.dtype)
+    logits = jnp.dot(q, kbd_ref[0], preferred_element_type=f32) * scale
+    segs = []
+    for h in range(heads):
+        seg = logits[:, h * lk : (h + 1) * lk]
+        m = jnp.max(seg, axis=-1, keepdims=True)
+        pseg = jnp.exp(seg - m)
+        segs.append(pseg / jnp.sum(pseg, axis=-1, keepdims=True))
+    p_all = segs[0] if heads == 1 else jnp.concatenate(segs, axis=-1)
+    av = jnp.dot(p_all.astype(x_ref.dtype), vbd_ref[0], preferred_element_type=f32)
+    attn_out = (
+        jnp.dot(av.astype(x_ref.dtype), wproj_ref[:], preferred_element_type=f32)
+        + bproj_ref[:].astype(f32)
+    )
+    res1 = x + attn_out
+
+    mean2 = jnp.sum(res1, axis=-1, keepdims=True) / c_real
+    var2 = jnp.sum(jnp.square(res1), axis=-1, keepdims=True) / c_real - jnp.square(mean2)
+    xn2 = (res1 - mean2) * jax.lax.rsqrt(var2 + 1e-6)
+    xn2 = xn2 * ln2s_ref[:].astype(f32) + ln2b_ref[:].astype(f32)
+    xn2_16 = xn2.astype(x_ref.dtype)
+    # MLP chunked over the hidden dim to stay inside the VMEM stack next to the
+    # fp32 logits/probability tiles
+    hid_p = wfc1_ref.shape[1]
+    step = min(hid_p, 768)
+    mlp = jnp.zeros((res1.shape[0], out_ref.shape[-1]), f32) + bfc2_ref[:].astype(f32)
+    for s in range(0, hid_p, step):
+        pre = (
+            jnp.dot(xn2_16, wfc1_ref[:, s : s + step], preferred_element_type=f32)
+            + bfc1_ref[:, s : s + step].astype(f32)
+        )
+        act = 0.5 * pre * (1.0 + _erf(pre * np.float32(1.0 / np.sqrt(2.0))))
+        mlp = mlp + jnp.dot(
+            act.astype(x_ref.dtype), wfc2_ref[s : s + step, :], preferred_element_type=f32
+        )
+    if has_res_proj:
+        base = (
+            jnp.dot(xn2_16, wres_ref[:], preferred_element_type=f32)
+            + bres_ref[:].astype(f32)
+        )
+    else:
+        base = res1
+    out_ref[0] = (base + mlp).astype(out_ref.dtype)
+
+
+def _fused_block_bd_impl(x, k, v, p, spec, interpret: bool):
+    """Block-diagonal-heads variant (heads ∈ {3..8}, lk 128-aligned)."""
+    b, l, c = x.shape
+    tile = _pick_tile(l)
+    kp, vp, weights, meta = _prep_operands(p, spec, k, v)
+    cp, cop, hd_p, heads = meta["cp"], meta["cop"], meta["hd_p"], meta["heads"]
+    lk = kp.shape[2]
+    assert lk % 128 == 0, (lk, "bd variant requires lane-aligned Lk segments")
+
+    # block-diagonal K/V, built once per forward in XLA (heads is small+static)
+    kbd = jnp.zeros((b, heads * hd_p, heads * lk), kp.dtype)
+    vbd = jnp.zeros((b, heads * lk, heads * hd_p), vp.dtype)
+    for h in range(heads):
+        kbd = kbd.at[:, h * hd_p : (h + 1) * hd_p, h * lk : (h + 1) * lk].set(
+            kp[:, h].transpose(0, 2, 1)
+        )
+        vbd = vbd.at[:, h * lk : (h + 1) * lk, h * hd_p : (h + 1) * hd_p].set(vp[:, h])
+
+    xp = _pad_last(x, cp)
+    kernel = functools.partial(
+        _block_bd_kernel,
+        heads=heads, lk=lk, c_real=c, scale=float(spec.scale),
+        has_res_proj=meta["has_res"],
+    )
+    in_specs = [
+        pl.BlockSpec((1, tile, cp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads * hd_p, heads * lk), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads * lk, heads * hd_p), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    for w in weights:
+        nd = w.ndim
+        in_specs.append(
+            pl.BlockSpec(w.shape, lambda i, j, nd=nd: (0,) * nd, memory_space=pltpu.VMEM)
+        )
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, l // tile),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, tile, cop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, l, cop), x.dtype),
+        interpret=interpret,
+    )(xp, kbd, vbd, *weights)
+    return out[..., : spec.dim_out]
+
+
 def _composite_block(x, k, v, p, spec):
     """XLA reference path (used for the recompute backward); mirrors
     models/mvit.multiscale_block_apply for the eligible (identity-skip) case."""
@@ -470,6 +586,10 @@ def _dispatch_impl(x, k, v, p, spec, interpret, variant):
         # single-grid-step kernel with an unrolled head loop — wins at 1-2 heads
         # where the loop is short and K/V residency is cheap (measured round 1)
         return _fused_block_impl(x, k, v, p, spec, interpret)
+    if variant == "bd" or (
+        variant == "auto" and spec.num_heads > 2 and k.shape[2] % 128 == 0
+    ):
+        return _fused_block_bd_impl(x, k, v, p, spec, interpret)
     return _fused_block_hg_impl(x, k, v, p, spec, interpret)
 
 

@@ -26,7 +26,7 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize("variant", ["loop", "hg"])
+@pytest.mark.parametrize("variant", ["loop", "hg", "bd"])
 @pytest.mark.parametrize("dim,dim_out,heads,l,thw,stride_kv", CASES)
 def test_fused_block_matches_composite(rng, dim, dim_out, heads, l, thw, stride_kv, variant):
     spec = AttentionSpec(
@@ -46,6 +46,8 @@ def test_fused_block_matches_composite(rng, dim, dim_out, heads, l, thw, stride_
     ka.set_enabled(None)
 
     k, v = mvit._pooled_kv(params, spec, x, thw)
+    if variant == "bd" and k.shape[2] % 128 != 0:
+        pytest.skip("bd variant requires lane-aligned Lk (all flagship Lk are 256)")
     out = kb.fused_block(x, k, v, params, spec, interpret=True, variant=variant)
     assert out.shape == ref.shape
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5, rtol=1e-4)

@@ -103,6 +103,7 @@ def main():
         results["composite"] = timed(composite_stack(), (params, x), args.iters)
         results["loop"] = timed(fused_stack("loop"), (params, x), args.iters)
         results["hg"] = timed(fused_stack("hg"), (params, x), args.iters)
+        results["bd"] = timed(fused_stack("bd"), (params, x), args.iters)
 
         base = results["composite"]
         line = "  ".join(

@@ -26,6 +26,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--configs", default="ABCD", help="subset of configs to run")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -75,19 +76,29 @@ def main():
         print(f"{tag}: {dt*1000:.1f} ms/step  ({B/dt:.1f} clips/s)", flush=True)
         return dt
 
-    ka.set_enabled(False)
-    dt_a = run("A composite (kernels off)       ")
-    ka.set_enabled(True)
-    ka.set_train_attention(False)
-    ka.set_train_decoder(False)
-    dt_b = run("B fused train tail only         ")
-    ka.set_train_decoder(True)
-    dt_c = run("C tail + decoder kernel         ")
-    ka.set_train_attention(True)
-    dt_d = run("D tail + decoder + attn kernels ")
-    print(f"tail-only    vs composite: {dt_a/dt_b:.3f}x", flush=True)
-    print(f"tail+decoder vs composite: {dt_a/dt_c:.3f}x", flush=True)
-    print(f"all kernels  vs composite: {dt_a/dt_d:.3f}x", flush=True)
+    res = {}
+    if "A" in args.configs:
+        ka.set_enabled(False)
+        res["A"] = run("A composite (kernels off)       ")
+    if "B" in args.configs:
+        ka.set_enabled(True)
+        ka.set_train_attention(False)
+        ka.set_train_decoder(False)
+        res["B"] = run("B fused train tail only         ")
+    if "C" in args.configs:
+        ka.set_enabled(True)
+        ka.set_train_attention(False)
+        ka.set_train_decoder(True)
+        res["C"] = run("C tail + decoder kernel         ")
+    if "D" in args.configs:
+        ka.set_enabled(True)
+        ka.set_train_attention(True)
+        ka.set_train_decoder(True)
+        res["D"] = run("D tail + decoder + attn kernels ")
+    if "A" in res:
+        for tag, dt in res.items():
+            if tag != "A":
+                print(f"{tag} vs composite: {res['A']/dt:.3f}x", flush=True)
 
 
 if __name__ == "__main__":
