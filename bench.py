@@ -37,6 +37,10 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_
 def main():
     import sys
 
+    global BATCH
+    if len(sys.argv) > 2 and sys.argv[1] == "--batch":
+        BATCH = int(sys.argv[2])  # sweep probe; the driver runs bare (=128)
+
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _flagship_cfg
     from csts_tpu.models import csts as csts_lib
