@@ -984,7 +984,15 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
     dim ≤ 384 blocks (d3/d4 — 16-33k grid steps at batch 128) fold the heads
     into an in-kernel loop: heads× fewer grid steps, no revisited fp32
     accumulator block, a single out write. The dim-768 blocks keep the heads
-    grid axis (folding their per-head temporaries overflows the 16 MB VMEM)."""
+    grid axis (folding their per-head temporaries overflows the 16 MB VMEM).
+
+    Measured NO (round 3, do not retry): building the trilinear skip IN VMEM
+    from edge-padded coarse plane views (so the fine skip never exists in HBM)
+    — d2 52.6→56.6 ms, d3 95.4→97.8 at batch 128, and d4 (st=2: THREE skip
+    plane views + fp32 tap windows on top of the folded-heads temporaries)
+    fails Mosaic compile at every tile scale. Eliminating the fine-skip stream
+    does not move the d3/d4 floor: the floor is q-views + out traffic, and the
+    per-plane coarse view refetch across revisits costs what the skip saved."""
     b = q6.shape[0]
     t_c, h_c, w_c = q6.shape[1] - 2, q6.shape[3] - 2, q6.shape[4] - 2
     c = spec.dim

@@ -37,6 +37,8 @@ def main():
                     help="per-stage cost inside the decoder kernel (d3/d4)")
     ap.add_argument("--hybrid", action="store_true",
                     help="composite decoder + fused attention/tail kernels")
+    ap.add_argument("--scales", type=int, nargs="+", default=[1, 2, 4],
+                    help="DEC_TILE_SCALE values to sweep")
     args = ap.parse_args()
     B, ITERS = args.batch, args.iters
 
@@ -122,7 +124,7 @@ def main():
         return
 
     ref = {}
-    for scale in (1, 2, 4):
+    for scale in args.scales:
         kb.DEC_TILE_SCALE = scale
         print(f"-- tile scale {scale}x --", flush=True)
         # d1/d2 (dim 768) already measured flat across tiles; sweep d3/d4 only
@@ -140,10 +142,6 @@ def main():
     for i, row in ref.items():
         best = min(row, key=row.get)
         print(f"blk {i+1}: best scale {best} ({row[best]*1000:.2f} ms)", flush=True)
-
-    for i, row in ref.items():
-        best = min(row, key=row.get)
-        print(f"blk {i+1}: best tile {best} ({row[best]*1000:.2f} ms)", flush=True)
 
 
 if __name__ == "__main__":
