@@ -27,6 +27,11 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=20)
     ap.add_argument("--configs", default="ABCD", help="subset of configs to run")
+    ap.add_argument("--batches", type=str, nargs="+", default=None,
+                    help="sweep the composite config over these batch sizes "
+                         "(one process; overrides --configs). An 'r' suffix "
+                         "turns on MODEL.ACT_CHECKPOINT (encoder remat), "
+                         "e.g. '--batches 16 32r'")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -42,19 +47,51 @@ def main():
     B = args.batch
     print(f"device: {jax.devices()[0]}  batch={B} iters={args.iters}", flush=True)
 
-    @jax.jit
-    def make_batch(key):
-        kv, ka_, kl = jax.random.split(key, 3)
-        hm = jax.nn.softmax(
-            jax.random.normal(kl, (B, 8, 64 * 64), jnp.float32), axis=-1
-        ).reshape(B, 8, 64, 64)
-        return {
-            "video": jax.random.normal(kv, (B, 8, 256, 256, 3), jnp.bfloat16),
-            "audio": jax.random.normal(ka_, (B, 8, 256, 256, 1), jnp.bfloat16),
-            "labels_hm": hm,
-        }
+    def make_batch(b):
+        @jax.jit
+        def _mk(key):
+            kv, ka_, kl = jax.random.split(key, 3)
+            hm = jax.nn.softmax(
+                jax.random.normal(kl, (b, 8, 64 * 64), jnp.float32), axis=-1
+            ).reshape(b, 8, 64, 64)
+            return {
+                "video": jax.random.normal(kv, (b, 8, 256, 256, 3), jnp.bfloat16),
+                "audio": jax.random.normal(ka_, (b, 8, 256, 256, 1), jnp.bfloat16),
+                "labels_hm": hm,
+            }
+        return _mk(jax.random.PRNGKey(0))
 
-    batch = make_batch(jax.random.PRNGKey(0))
+    batch = make_batch(B)
+
+    if args.batches:
+        # train-batch sweep, composite config, ONE process (the per-chip train
+        # optimum can move with server-side backend drift — round 2 measured
+        # batch 8 best at 281.7 ms; round 3's composite is 230 ms)
+        ka.set_enabled(False)
+        for bs in args.batches:
+            remat = bs.endswith("r")
+            b = int(bs.rstrip("r"))
+            cfg.TRAIN.BATCH_SIZE = b
+            cfg.MODEL.ACT_CHECKPOINT = remat
+            spec = csts_lib.build_spec(cfg)
+            B = b
+            batch = make_batch(b)
+            run_sweep_tag = f"composite batch {b:<3d}{' remat' if remat else '      '}      "
+            state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(1))
+            train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch=100)
+            rng = jax.random.PRNGKey(2)
+            t0 = time.perf_counter()
+            state, stats, _ = train_step(state, batch, rng)
+            float(stats["loss"])
+            print(f"{run_sweep_tag}: compile+first step {time.perf_counter()-t0:.1f}s", flush=True)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                state, stats, _ = train_step(state, batch, rng)
+            float(stats["loss"])
+            dt = (time.perf_counter() - t0) / args.iters
+            print(f"{run_sweep_tag}: {dt*1000:.1f} ms/step  ({b/dt:.1f} clips/s)", flush=True)
+            del state
+        return
 
     def run(tag):
         state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(1))
