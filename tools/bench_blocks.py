@@ -201,7 +201,10 @@ def main():
         h = ops.linear_apply(p["mlp"]["fc1"], x_norm)
         h = jax.nn.gelu(h, approximate=False)
         h = ops.linear_apply(p["mlp"]["fc2"], h)
-        return x + h
+        # dim-change blocks (e.g. blk0 96->192) route the residual through the
+        # tail's projection of x_norm (reference proj(x_norm) quirk)
+        res = ops.linear_apply(p["proj"], x_norm) if "proj" in p else x
+        return res + h
 
     timed("mlp tail (composite XLA)", tail_xla, p, x)
 
