@@ -176,3 +176,58 @@ def test_convert_checkpoint_cli(pyth_checkpoint, tmp_path):
     loaded = cu.load_params_npz(out_npz, params)
     ref = oracle.state_dict()["blocks.3.attn.qkv.weight"].numpy().T
     np.testing.assert_allclose(np.asarray(loaded["blocks"][3]["attn"]["qkv"]["w"]), ref)
+
+
+def test_export_roundtrip_forward_parity(tmp_path):
+    """to_torch round trip: params from csts_init -> export_csts_state_dict ->
+    reference model load_state_dict(strict=True) -> fp32 forward parity, plus a
+    save_pyth_checkpoint file re-ingested by the from_torch pathway. Proves a
+    model trained HERE is directly evaluable by the PyTorch reference."""
+    from csts_tpu.convert.from_torch import (
+        convert_csts_state_dict,
+        load_pyth_checkpoint,
+    )
+    from csts_tpu.convert.to_torch import export_csts_state_dict, save_pyth_checkpoint
+
+    cfg = tiny_cfg()
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(3), spec)
+    params_np = jax.tree_util.tree_map(np.asarray, params)
+
+    sd = {k: torch.from_numpy(v) for k, v in export_csts_state_dict(params_np).items()}
+
+    # fresh oracle (the module fixture's is shared; loading would mutate it)
+    oracle, _ = load_reference_csts(crop_size=CROP, num_frames=8, seed=13)
+    grid = CROP // 4 // 8
+    torch.manual_seed(13)
+    oracle.vision_pool = torch.nn.Conv3d(768, 768, (1, grid, grid))
+    oracle.audio_pool = torch.nn.Conv3d(768, 768, (1, grid, grid))
+    oracle.audio_pool2 = torch.nn.Conv3d(768, 768, (1, grid, grid))
+    oracle.load_state_dict(sd, strict=True)  # raises on any key/shape mismatch
+    oracle.eval()
+
+    rng = np.random.default_rng(9)
+    video = rng.standard_normal((2, 3, 8, CROP, CROP), dtype=np.float32)
+    audio = rng.standard_normal((2, 1, 8, CROP, CROP), dtype=np.float32)
+    with torch.no_grad():
+        ref = oracle([torch.from_numpy(video)], torch.from_numpy(audio)).numpy()
+
+    out = csts_lib.csts_apply(
+        params, spec,
+        jnp.asarray(video.transpose(0, 2, 3, 4, 1)),
+        jnp.asarray(audio.transpose(0, 2, 3, 4, 1)),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out).transpose(0, 4, 1, 2, 3), ref, atol=5e-4, rtol=1e-4
+    )
+
+    # .pyth file round trip through the existing from_torch ingestion
+    path = str(tmp_path / "exported.pyth")
+    save_pyth_checkpoint(path, params_np, epoch=7)
+    back = convert_csts_state_dict(load_pyth_checkpoint(path))
+    flat_a = jax.tree_util.tree_leaves_with_path(params_np)
+    flat_b = jax.tree_util.tree_leaves_with_path(back)
+    assert len(flat_a) == len(flat_b)
+    for (pa, la), (pb, lb) in zip(flat_a, flat_b):
+        assert pa == pb
+        np.testing.assert_array_equal(np.asarray(la, np.float32), lb, err_msg=str(pa))
