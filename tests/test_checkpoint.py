@@ -177,6 +177,21 @@ def test_convert_checkpoint_cli(pyth_checkpoint, tmp_path):
     ref = oracle.state_dict()["blocks.3.attn.qkv.weight"].numpy().T
     np.testing.assert_allclose(np.asarray(loaded["blocks"][3]["attn"]["qkv"]["w"]), ref)
 
+    # and back out: npz -> reference .pyth via the export CLI
+    out_pyth = str(tmp_path / "exported.pyth")
+    res = subprocess.run(
+        [sys.executable, "tools/export_checkpoint.py", "--cfg", str(cfg_yaml),
+         "--input", out_npz, "--output", out_pyth],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))), env=env,
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    blob = torch.load(out_pyth, map_location="cpu", weights_only=False)
+    np.testing.assert_allclose(
+        blob["model_state"]["blocks.3.attn.qkv.weight"].numpy(),
+        oracle.state_dict()["blocks.3.attn.qkv.weight"].numpy(),
+    )
+
 
 def test_export_roundtrip_forward_parity(tmp_path):
     """to_torch round trip: params from csts_init -> export_csts_state_dict ->

@@ -29,6 +29,10 @@ def main():
     import numpy as np
     import jax
 
+    # Pure weight shuffling — never claim the TPU (the axon sitecustomize
+    # overrides JAX_PLATFORMS from the environment, so set it in-process).
+    jax.config.update("jax_platforms", "cpu")
+
     from csts_tpu.config import load_config
     from csts_tpu.models import csts as csts_lib
     from csts_tpu.utils import checkpoint as cu
