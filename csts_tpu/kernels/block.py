@@ -775,21 +775,31 @@ def _decoder_kernel(
     has_res_proj: bool, has_norm_q: bool,
     st: int, sh: int, sw: int, t_c: int, h_c: int, w_c: int,
     r_fine: int, tiles_per_plane: int, fold_heads: bool = False,
+    elem_planes: int = 0,
     debug_skip: frozenset = frozenset(),
 ):
     """One (batch, fine-row-tile[, head]) grid step.
 
-    q views: one (1, 1, heads, H_c+2, W_c, hd_p) ROW-padded coarse-Q block per
-    T-offset in ``ets`` (clamped plane index; invalid planes re-zeroed here). The
-    index maps do NOT depend on the head grid axis, so Mosaic skips the refetch
-    across consecutive head steps — the per-head variant measured 12 GB of view
-    traffic at d4. The subpixel transposed conv (k=3, p=1, s≤2 — every tap's
-    coarse offset is in {−1,0,1}) runs in VMEM on a (rc+2, W_c+2) window and the
-    spatial phases interleave in registers, so fine-resolution Q never touches
-    HBM. skip (1, TILE, Cp) · k/v (1, heads, Lk, hd_p) · wconv (3,3,3,hd_p) ·
-    wproj (heads, hd_p, Cp) · out (1, TILE, Cop) · scratch acc (TILE, Cp) fp32.
+    q views, legacy (``elem_planes == 0``): one (1, 1, heads, H_c+2, W_c, hd_p)
+    coarse-Q block per T-offset in ``ets``. The index maps do NOT depend on the
+    head grid axis, so Mosaic skips the refetch across consecutive head steps —
+    the per-head variant measured 12 GB of view traffic at d4.
+
+    q views, element mode (``elem_planes > 0``): ONE all-Element BlockSpec of
+    ``elem_planes`` consecutive coarse planes whose element offset changes only
+    every ``st·(2//st)`` fine planes, so consecutive fine planes SHARE the
+    fetched window instead of each refetching their own overlapping plane set —
+    st=2 halves the view traffic (2-plane block per coarse m serves both fine
+    phases), st=1 cuts it 1.5× (4-plane block serves a fine-plane pair; the
+    local plane index gains a dynamic ``t_f % 2`` term).
+
+    The subpixel transposed conv (k=3, p=1, s≤2 — every tap's coarse offset is
+    in {−1,0,1}) runs in VMEM on a (rc+2, W_c+2) window and the spatial phases
+    interleave in registers, so fine-resolution Q never touches HBM. skip
+    (1, TILE, Cp) · k/v (1, heads, Lk, hd_p) · wconv (3,3,3,hd_p) · wproj
+    (heads, hd_p, Cp) · out (1, TILE, Cop) · scratch acc (TILE, Cp) fp32.
     TILE = r_fine·W_f fine tokens (whole fine rows of one fine T plane)."""
-    nv = len(ets)
+    nv = 1 if elem_planes else len(ets)
     qview_refs = refs[:nv]
     if fold_heads:
         (skip_ref, k_ref, v_ref, wconv_ref, nqs_ref, nqb_ref, wproj_ref, bproj_ref,
@@ -807,17 +817,34 @@ def _decoder_kernel(
     rc = r_fine // sh                            # coarse rows per spatial phase
     w_f = w_c * sw
     hd_p = qview_refs[0].shape[-1]
-    views = dict(zip(ets, qview_refs))
+    if elem_planes:
+        q_ref = qview_refs[0]
+        parity = t_f % 2 if st == 1 else 0
 
-    def window(et, h):
-        # rows [c0−1, c0+rc+1) of the PADDED coarse plane m+et for head h. The
-        # one zero plane/row/column baked into q6 on every side (models/mvit.py
-        # _coarse_q_slots) makes the load always in-range AND makes OOB taps read
-        # zeros, so there is no validity multiply or per-window pad here (each
-        # measured ~15-33 ms/block at batch 128). Column-shifted (sublane)
-        # variants are hoisted and computed ONCE per window.
-        win = views[et][0, 0, h, pl.ds(c0, rc + 2)].astype(f32)
-        return {ew: win[:, 1 + ew : 1 + ew + w_c, :] for ew in (-1, 0, 1)}
+        def window(et, h):
+            # rows [c0−1, c0+rc+1) of the PADDED coarse plane for head h, from
+            # the shared element-offset block. st=2: the block starts at plane
+            # m+1, so the local plane is just et. st=1: the block covers the
+            # fine-plane PAIR's union (planes 2⌊m/2⌋ .. +3), so the local plane
+            # is et+1 plus the dynamic pair parity.
+            if st == 1:
+                win = q_ref[0, pl.ds(et + 1 + parity, 1), h, pl.ds(c0, rc + 2)][0]
+            else:
+                win = q_ref[0, et, h, pl.ds(c0, rc + 2)]
+            win = win.astype(f32)
+            return {ew: win[:, 1 + ew : 1 + ew + w_c, :] for ew in (-1, 0, 1)}
+    else:
+        views = dict(zip(ets, qview_refs))
+
+        def window(et, h):
+            # rows [c0−1, c0+rc+1) of the PADDED coarse plane m+et for head h. The
+            # one zero plane/row/column baked into q6 on every side (models/mvit.py
+            # _coarse_q_slots) makes the load always in-range AND makes OOB taps read
+            # zeros, so there is no validity multiply or per-window pad here (each
+            # measured ~15-33 ms/block at batch 128). Column-shifted (sublane)
+            # variants are hoisted and computed ONCE per window.
+            win = views[et][0, 0, h, pl.ds(c0, rc + 2)].astype(f32)
+            return {ew: win[:, 1 + ew : 1 + ew + w_c, :] for ew in (-1, 0, 1)}
 
     def build_q(r_t, h, wins):
         rows = []
@@ -945,6 +972,18 @@ def _decoder_kernel(
 # VMEM budget on the dim-768 blocks (measured 20.96M at tile 1024 on d2).
 DEC_TILE_SCALE = 1
 
+# Shared element-offset coarse-Q views (tools/ab_decoder.py --views A/Bs this).
+# When on, the per-et view operands collapse to ONE all-Element BlockSpec whose
+# offset advances every fine-plane pair (st=1) / coarse plane (st=2), so
+# consecutive fine planes share one fetched plane block instead of each naming
+# their own overlapping plane set. MEASURED NEUTRAL on-chip (batch 128, 20
+# reps): d2 53.2→52.6, d3 95.3→96.6, d4 112.8→112.2 ms — Mosaic already skips
+# refetch when consecutive grid steps map to the same block, so the per-et
+# operands were not the d3/d4 floor after all (that floor is skip+out+q6
+# streaming at ~56 GB/s). Kept gated off as the answer to the round-3 roadmap's
+# "try pl.Element view sharing"; interpret-mode parity stays tested.
+DEC_ELEMENT_VIEWS = False
+
 # Kernel-internals ablation flags (tools/ab_decoder.py --ablate-kernel): members
 # of {"qbuild", "attn", "mlp"} replace that stage with near-free stand-ins at
 # trace time, so the per-stage cost of the decoder kernel is measurable on-chip.
@@ -1005,6 +1044,14 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
     # T offsets actually used: stride-1 taps reach planes m−1..m+1; stride-2 phase
     # taps only m and m+1 (k=3, p=1, op=1)
     ets = (-1, 0, 1) if st == 1 else (0, 1)
+    # shared element-offset views: 2-plane block per coarse m (st=2) or 4-plane
+    # block per fine-plane pair (st=1, needs an even fine-plane count)
+    elem_planes = 0
+    if DEC_ELEMENT_VIEWS:
+        if st == 2:
+            elem_planes = 2
+        elif st == 1 and tfd % 2 == 0:
+            elem_planes = 4
 
     ws, cp, cop, has_res = _prep_tail_weights(p, spec, skip.dtype)
     hd_p = _round_up(hd, 128)
@@ -1042,12 +1089,14 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
         has_res_proj=has_res, has_norm_q=has_norm_q,
         st=st, sh=sh, sw=sw, t_c=t_c, h_c=h_c, w_c=w_c,
         r_fine=r_fine, tiles_per_plane=tiles_per_plane,
-        fold_heads=fold,
+        fold_heads=fold, elem_planes=elem_planes,
         debug_skip=frozenset(DEC_DEBUG_SKIP),
     )
 
-    def _bspec(shape, fn):
+    def _bspec(shape, fn, elem=False):
         """BlockSpec whose index map matches the grid arity for this mode."""
+        if elem:
+            shape = tuple(pl.Element(s) for s in shape)
         if fold:
             return pl.BlockSpec(shape, lambda i, j, fn=fn: fn(i, j), memory_space=pltpu.VMEM)
         return pl.BlockSpec(shape, lambda i, j, h, fn=fn: fn(i, j), memory_space=pltpu.VMEM)
@@ -1062,7 +1111,20 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
             lambda i, j, e=e: (i, j // tiles_per_plane // st + e + 1, 0, 0, 0, 0),
         )
 
-    in_specs = [qview(e) for e in ets] + [
+    if elem_planes:
+        # ONE shared view; element offset advances every (2//st)·st fine planes.
+        # st=2: planes m+1..m+2 serve both phases of coarse m. st=1: planes
+        # 2⌊m/2⌋ .. +3 serve the fine-plane pair (kernel adds the parity).
+        if st == 2:
+            qoff = lambda i, j: (i, j // tiles_per_plane // 2 + 1, 0, 0, 0, 0)
+        else:
+            qoff = lambda i, j: (i, 2 * (j // tiles_per_plane // 2), 0, 0, 0, 0)
+        qviews = [_bspec((1, elem_planes, heads, h_c + 2, w_c + 2, hd_p), qoff,
+                         elem=True)]
+    else:
+        qviews = [qview(e) for e in ets]
+
+    in_specs = qviews + [
         _bspec((1, tile, cp), lambda i, j: (i, j, 0)),
         _bspec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0)),
         _bspec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0)),
@@ -1084,7 +1146,7 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
         out_shape=jax.ShapeDtypeStruct((b, l, cop), dt),
         scratch_shapes=[] if fold else [pltpu.VMEM((tile, cp), jnp.float32)],
         interpret=interpret,
-    )(*([q6] * len(ets)), skip_p, kp, vp, wconv, nqs, nqb, wproj, bproj, *ws)
+    )(*([q6] * len(qviews)), skip_p, kp, vp, wconv, nqs, nqb, wproj, bproj, *ws)
     return out[..., : spec.dim_out]
 
 
