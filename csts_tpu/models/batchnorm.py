@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 
@@ -121,6 +123,80 @@ class SubBatchNorm:
         mean = jnp.mean(mean_s, axis=0)
         var = jnp.mean(var_s + jnp.square(mean_s), axis=0) - jnp.square(mean)
         return {**state, "global": {"mean": mean, "var": var}}
+
+
+def _is_bn_stats(d) -> bool:
+    return isinstance(d, dict) and set(d) == {"mean", "var"}
+
+
+def _is_subbn_state(d) -> bool:
+    return (
+        isinstance(d, dict)
+        and set(d) == {"split", "global"}
+        and _is_bn_stats(d["split"])
+        and _is_bn_stats(d["global"])
+    )
+
+
+def sub_to_normal_bn_state(tree):
+    """Canonicalize SubBN states for saving: keep only the aggregated global
+    stats in normal-BN layout (reference ``checkpoint.py:477-511``
+    ``sub_to_normal_bn`` — it renames the aggregated ``bn.bn`` copy to ``bn``
+    and drops the per-split copy; call :meth:`SubBatchNorm.aggregate_stats`
+    first, as the reference's trainer does before every save). The reference's
+    4-D→1-D weight squeeze is a caffe2-era torch layout artifact with no
+    analogue here (our scale/bias are 1-D by construction)."""
+    if _is_subbn_state(tree):
+        return dict(tree["global"])
+    if isinstance(tree, dict):
+        return {k: sub_to_normal_bn_state(v) for k, v in tree.items()}
+    if isinstance(tree, list):
+        return [sub_to_normal_bn_state(v) for v in tree]
+    return tree
+
+
+def normal_to_sub_bn_state(ckpt_tree, model_tree):
+    """Expand normal-BN stats in a checkpoint to SubBN layout wherever the model
+    expects one (reference ``checkpoint.py:538-577`` ``normal_to_sub_bn``: the
+    flat stats become the global copy AND are tiled ``num_splits``× for the
+    split copy). Subtrees the checkpoint lacks keep the model's values; SubBN
+    states already in split layout pass through unchanged."""
+    if ckpt_tree is None:
+        return model_tree
+    if _is_subbn_state(model_tree):
+        if _is_subbn_state(ckpt_tree):
+            return ckpt_tree
+        if _is_bn_stats(ckpt_tree):
+            split_n = np.shape(model_tree["split"]["mean"])[0]
+            flat_n = np.shape(ckpt_tree["mean"])[0]
+            assert split_n % flat_n == 0, (split_n, flat_n)
+            reps = split_n // flat_n
+            return {
+                "global": {k: jnp.asarray(ckpt_tree[k]) for k in ("mean", "var")},
+                "split": {
+                    k: jnp.tile(jnp.asarray(ckpt_tree[k]), reps)
+                    for k in ("mean", "var")
+                },
+            }
+        return model_tree
+    if isinstance(model_tree, dict):
+        return {
+            k: normal_to_sub_bn_state(
+                ckpt_tree.get(k) if isinstance(ckpt_tree, dict) else None, v
+            )
+            for k, v in model_tree.items()
+        }
+    if isinstance(model_tree, list):
+        return [
+            normal_to_sub_bn_state(
+                ckpt_tree[i]
+                if isinstance(ckpt_tree, list) and i < len(ckpt_tree)
+                else None,
+                v,
+            )
+            for i, v in enumerate(model_tree)
+        ]
+    return ckpt_tree
 
 
 def update_precise_stats(apply_fn, params, state, batches, num_iters: int):
