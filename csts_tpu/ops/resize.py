@@ -4,6 +4,16 @@ Used for the decoder skip upsample (``attention.py:463-467``) and the final stem
 interpolation (``custom_multimodal_builder.py:479``). Torch's default
 ``align_corners=False`` uses half-pixel sample positions, which is exactly
 ``jax.image.resize(method='linear')``.
+
+Measured NO (round 3): replacing the exact-2x axes with explicit phase
+interpolation (even = 0.75·x + 0.25·x[m-1], odd = 0.75·x + 0.25·x[m+1],
+edge-clamped, then interleave) to dodge the resize weight-matmul's batch-minor
+layout (profiled at ~23 ms of conv+relayout+pad for the d4 skip at batch 128)
+made the FULL forward 62 ms slower: 747.5 -> 809.8 ms device-op time
+(tools/profile_forward.py, batch 128) — the phase construction materializes
+~4 GB loop-fusion intermediates at d3/d4 (+68 ms of loop fusions) and the
+isolated decoder blocks regressed too (d2 52.6→67.8, d3 95.4→123.2,
+d4 112.4→120.6 ms, ab_decoder). XLA's separable-matmul lowering wins.
 """
 
 from __future__ import annotations

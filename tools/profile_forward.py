@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""Per-op device profile of the flagship forward through jax.profiler (dev tool).
+
+Round-3 discovery: the axon relay DOES carry the TPU device profiler — traces
+contain a /device:TPU:0 plane with per-HLO-op events (name, device duration,
+hlo_category, bytes_accessed, full HLO long_name). That makes the real per-op
+breakdown measurable HERE, replacing the bench_sections/bench_blocks triangulation
+("the relay is too noisy for xprof" was wrong). The per-op table is THE ground
+truth for where batch-128 forward time goes — the five conv-lowering experiments'
+"the cost is NOT where the op graph suggests" can now be checked directly.
+
+Usage:
+  python tools/profile_forward.py [--batch 128] [--iters 3] [--top 40]
+      [--out PROFILE.json] [--trace-dir /tmp/csts_prof]
+Run on the TPU host to natural exit; never kill (TPU claim wedges).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import gzip
+import json
+import os
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def collect_trace(trace_dir: str):
+    """Parse the newest trace.json.gz under trace_dir; return device-op events."""
+    paths = sorted(glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
+                             recursive=True), key=os.path.getmtime)
+    assert paths, f"no trace found under {trace_dir}"
+    with gzip.open(paths[-1]) as f:
+        tr = json.load(f)
+    evs = tr["traceEvents"]
+    device_pids = {
+        ev["pid"] for ev in evs
+        if ev.get("ph") == "M" and ev.get("name") == "process_name"
+        and ev["args"].get("name", "").startswith("/device:TPU")
+    }
+    return [
+        ev for ev in evs
+        if ev.get("ph") == "X" and ev.get("pid") in device_pids
+        and "hlo_category" in ev.get("args", {})
+    ]
+
+
+def aggregate(events, iters: int):
+    """Group per-op events by (name, category); report per-iteration numbers."""
+    ops = defaultdict(lambda: {"us": 0.0, "count": 0, "bytes": 0})
+    for ev in events:
+        a = ev["args"]
+        key = (ev["name"], a["hlo_category"])
+        d = ops[key]
+        d["us"] += float(a["device_duration_ps"]) / 1e6
+        d["count"] += 1
+        d["bytes"] += int(a.get("bytes_accessed", 0))
+    rows = []
+    for (name, cat), d in ops.items():
+        us = d["us"] / iters
+        by = d["bytes"] / iters
+        rows.append({
+            "op": name, "category": cat, "us_per_iter": round(us, 1),
+            "calls_per_iter": d["count"] // iters,
+            "gb_per_iter": round(by / 1e9, 3),
+            "gbps": round(by / 1e3 / us, 1) if us > 0 else 0.0,
+        })
+    rows.sort(key=lambda r: -r["us_per_iter"])
+    cats = defaultdict(float)
+    for r in rows:
+        cats[r["category"]] += r["us_per_iter"]
+    return rows, dict(sorted(cats.items(), key=lambda kv: -kv[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--top", type=int, default=40)
+    ap.add_argument("--out", default=None, help="write the full table as JSON")
+    ap.add_argument("--trace-dir", default="/tmp/csts_prof")
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship_cfg
+    from csts_tpu.models import csts as csts_lib
+    from csts_tpu.train import losses
+
+    cfg = _flagship_cfg()
+    cfg.TRAIN.MIXED_PRECISION = True
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+
+    @jax.jit
+    def step(params, video, audio):
+        logits = csts_lib.csts_apply(params, spec, video, audio, deterministic=True)
+        return losses.frame_softmax(logits, temperature=2.0)
+
+    @jax.jit
+    def make_inputs(key):
+        kv, ka = jax.random.split(key)
+        video = jax.random.normal(kv, (args.batch, 8, 256, 256, 3), jnp.bfloat16)
+        audio = jax.random.normal(ka, (args.batch, 8, 256, 256, 1), jnp.bfloat16)
+        return video, audio
+
+    video, audio = make_inputs(jax.random.PRNGKey(0))
+
+    def sync(x):
+        return float(jnp.sum(x[0, 0, 0, 0]))
+
+    sync(step(params, video, audio))  # compile outside the trace
+
+    jax.profiler.start_trace(args.trace_dir)
+    out = None
+    for _ in range(args.iters):
+        out = step(params, video, audio)
+    sync(out)
+    jax.profiler.stop_trace()
+
+    events = collect_trace(args.trace_dir)
+    rows, cats = aggregate(events, args.iters)
+    total_us = sum(r["us_per_iter"] for r in rows)
+    print(f"device op time {total_us/1000:.1f} ms/iter over {len(rows)} distinct ops "
+          f"(batch {args.batch}, {args.iters} iters)", flush=True)
+    print("-- by category (ms/iter) --")
+    for cat, us in cats.items():
+        print(f"  {cat:32s} {us/1000:8.2f}")
+    print(f"-- top {args.top} ops --")
+    print(f"{'op':48s} {'category':22s} {'ms':>8s} {'calls':>6s} {'GB':>8s} {'GB/s':>7s}")
+    for r in rows[: args.top]:
+        print(f"{r['op'][:48]:48s} {r['category'][:22]:22s} {r['us_per_iter']/1000:8.2f} "
+              f"{r['calls_per_iter']:6d} {r['gb_per_iter']:8.3f} {r['gbps']:7.1f}")
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"batch": args.batch, "iters": args.iters,
+                       "total_us_per_iter": total_us, "categories": cats,
+                       "ops": rows}, f, indent=1)
+        print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
