@@ -771,27 +771,25 @@ def fused_mlp_tail(x, params, spec, interpret: bool = False):
 def _decoder_kernel(
     *refs,
     ets: Tuple[int, ...],
-    heads: int, hd_real: int, c_real: int, scale: float,
+    heads: int, hd_p: int, hd_real: int, c_real: int, scale: float,
     has_res_proj: bool, has_norm_q: bool,
     st: int, sh: int, sw: int, t_c: int, h_c: int, w_c: int,
     r_fine: int, tiles_per_plane: int, fold_heads: bool = False,
-    elem_planes: int = 0,
     debug_skip: frozenset = frozenset(),
 ):
     """One (batch, fine-row-tile[, head]) grid step.
 
-    q views, legacy (``elem_planes == 0``): one (1, 1, heads, H_c+2, W_c, hd_p)
-    coarse-Q block per T-offset in ``ets``. The index maps do NOT depend on the
-    head grid axis, so Mosaic skips the refetch across consecutive head steps —
-    the per-head variant measured 12 GB of view traffic at d4.
-
-    q views, element mode (``elem_planes > 0``): ONE all-Element BlockSpec of
-    ``elem_planes`` consecutive coarse planes whose element offset changes only
-    every ``st·(2//st)`` fine planes, so consecutive fine planes SHARE the
-    fetched window instead of each refetching their own overlapping plane set —
-    st=2 halves the view traffic (2-plane block per coarse m serves both fine
-    phases), st=1 cuts it 1.5× (4-plane block serves a fine-plane pair; the
-    local plane index gains a dynamic ``t_f % 2`` term).
+    q views: one coarse-Q block per T-offset in ``ets``. Heads-folded mode:
+    (1, 1, H_c+2, W_c+2, heads·hd_p) heads-IN-LANES blocks (the matmul-native
+    slot layout, models/mvit.py _slot_q_proj); each head's slot is a STATIC
+    lane slice inside the in-kernel head loop. Heads-on-grid mode (dim 768):
+    (1, 1, heads, H_c+2, W_c+2, hd_p) heads-major blocks whose index maps do
+    NOT depend on the head grid axis, so Mosaic skips the refetch across
+    consecutive head steps — a per-head-indexed view refetches per head step
+    (measured 12 GB of view traffic at d4 in round 2). Shared element-offset
+    (pl.Element) views were measured NEUTRAL and removed (round 3: d2 53.2→52.6,
+    d3 95.3→96.6, d4 112.8→112.2 ms — Mosaic already skips same-index
+    refetches; see git history for the variant).
 
     The subpixel transposed conv (k=3, p=1, s≤2 — every tap's coarse offset is
     in {−1,0,1}) runs in VMEM on a (rc+2, W_c+2) window and the spatial phases
@@ -799,7 +797,7 @@ def _decoder_kernel(
     (1, TILE, Cp) · k/v (1, heads, Lk, hd_p) · wconv (3,3,3,hd_p) · wproj
     (heads, hd_p, Cp) · out (1, TILE, Cop) · scratch acc (TILE, Cp) fp32.
     TILE = r_fine·W_f fine tokens (whole fine rows of one fine T plane)."""
-    nv = 1 if elem_planes else len(ets)
+    nv = len(ets)
     qview_refs = refs[:nv]
     if fold_heads:
         (skip_ref, k_ref, v_ref, wconv_ref, nqs_ref, nqb_ref, wproj_ref, bproj_ref,
@@ -816,33 +814,25 @@ def _decoder_kernel(
     c0 = (j % tiles_per_plane) * (r_fine // sh)  # first coarse row of this tile
     rc = r_fine // sh                            # coarse rows per spatial phase
     w_f = w_c * sw
-    hd_p = qview_refs[0].shape[-1]
-    if elem_planes:
-        q_ref = qview_refs[0]
-        parity = t_f % 2 if st == 1 else 0
+    views = dict(zip(ets, qview_refs))
+
+    if fold_heads:
 
         def window(et, h):
-            # rows [c0−1, c0+rc+1) of the PADDED coarse plane for head h, from
-            # the shared element-offset block. st=2: the block starts at plane
-            # m+1, so the local plane is just et. st=1: the block covers the
-            # fine-plane PAIR's union (planes 2⌊m/2⌋ .. +3), so the local plane
-            # is et+1 plus the dynamic pair parity.
-            if st == 1:
-                win = q_ref[0, pl.ds(et + 1 + parity, 1), h, pl.ds(c0, rc + 2)][0]
-            else:
-                win = q_ref[0, et, h, pl.ds(c0, rc + 2)]
+            # rows [c0−1, c0+rc+1) of the PADDED coarse plane m+et, head h's
+            # static lane slot. The one zero plane/row/column baked into q6 on
+            # every side (models/mvit.py _coarse_q_slots) makes the load always
+            # in-range AND makes OOB taps read zeros, so there is no validity
+            # multiply or per-window pad here (each measured ~15-33 ms/block at
+            # batch 128). Column-shifted (sublane) variants are hoisted and
+            # computed ONCE per window.
+            win = views[et][0, 0, pl.ds(c0, rc + 2), :, h * hd_p : (h + 1) * hd_p]
             win = win.astype(f32)
             return {ew: win[:, 1 + ew : 1 + ew + w_c, :] for ew in (-1, 0, 1)}
     else:
-        views = dict(zip(ets, qview_refs))
 
         def window(et, h):
-            # rows [c0−1, c0+rc+1) of the PADDED coarse plane m+et for head h. The
-            # one zero plane/row/column baked into q6 on every side (models/mvit.py
-            # _coarse_q_slots) makes the load always in-range AND makes OOB taps read
-            # zeros, so there is no validity multiply or per-window pad here (each
-            # measured ~15-33 ms/block at batch 128). Column-shifted (sublane)
-            # variants are hoisted and computed ONCE per window.
+            # heads-major block, head picked by the grid axis (see docstring)
             win = views[et][0, 0, h, pl.ds(c0, rc + 2)].astype(f32)
             return {ew: win[:, 1 + ew : 1 + ew + w_c, :] for ew in (-1, 0, 1)}
 
@@ -972,18 +962,6 @@ def _decoder_kernel(
 # VMEM budget on the dim-768 blocks (measured 20.96M at tile 1024 on d2).
 DEC_TILE_SCALE = 1
 
-# Shared element-offset coarse-Q views (tools/ab_decoder.py --views A/Bs this).
-# When on, the per-et view operands collapse to ONE all-Element BlockSpec whose
-# offset advances every fine-plane pair (st=1) / coarse plane (st=2), so
-# consecutive fine planes share one fetched plane block instead of each naming
-# their own overlapping plane set. MEASURED NEUTRAL on-chip (batch 128, 20
-# reps): d2 53.2→52.6, d3 95.3→96.6, d4 112.8→112.2 ms — Mosaic already skips
-# refetch when consecutive grid steps map to the same block, so the per-et
-# operands were not the d3/d4 floor after all (that floor is skip+out+q6
-# streaming at ~56 GB/s). Kept gated off as the answer to the round-3 roadmap's
-# "try pl.Element view sharing"; interpret-mode parity stays tested.
-DEC_ELEMENT_VIEWS = False
-
 # Kernel-internals ablation flags (tools/ab_decoder.py --ablate-kernel): members
 # of {"qbuild", "attn", "mlp"} replace that stage with near-free stand-ins at
 # trace time, so the per-stage cost of the decoder kernel is measurable on-chip.
@@ -1014,11 +992,20 @@ def _decoder_tile_plan(spec, thw_f):
     return r, r * w_f, h_f // r
 
 
+def decoder_heads_in_lanes(spec) -> bool:
+    """Heads-folded decoder blocks (dim ≤ 384) take the 5-D heads-in-lanes q6
+    layout from models/mvit.py _coarse_q_slots; the dim-768 blocks keep the
+    heads-major 6-D layout (see _decoder_kernel docstring)."""
+    return spec.dim <= 384
+
+
 def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
-    """q6: (B, T_c+2, heads, H_c+2, W_c+2, hd_p) zero-halo-padded coarse Q (post
-    LN1+Wq+bias, PRE upsample conv), heads-major; skip: (B, L_f, C) trilinear
-    residual; k/v: (B, heads, Lk, hd) pooled+normed. The q upsample conv + pool
-    norm run inside the kernel, so fine-resolution Q never exists in HBM.
+    """q6: zero-halo-padded coarse Q (post LN1+Wq+bias, PRE upsample conv) —
+    (B, T_c+2, H_c+2, W_c+2, heads·hd_p) heads-in-lanes for the heads-folded
+    blocks, (B, T_c+2, heads, H_c+2, W_c+2, hd_p) heads-major otherwise; skip:
+    (B, L_f, C) trilinear residual; k/v: (B, heads, Lk, hd) pooled+normed. The
+    q upsample conv + pool norm run inside the kernel, so fine-resolution Q
+    never exists in HBM.
 
     dim ≤ 384 blocks (d3/d4 — 16-33k grid steps at batch 128) fold the heads
     into an in-kernel loop: heads× fewer grid steps, no revisited fp32
@@ -1033,25 +1020,20 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
     does not move the d3/d4 floor: the floor is q-views + out traffic, and the
     per-plane coarse view refetch across revisits costs what the skip saved."""
     b = q6.shape[0]
-    t_c, h_c, w_c = q6.shape[1] - 2, q6.shape[3] - 2, q6.shape[4] - 2
+    fold = decoder_heads_in_lanes(spec)
+    if fold:
+        t_c, h_c, w_c = q6.shape[1] - 2, q6.shape[2] - 2, q6.shape[3] - 2
+    else:
+        t_c, h_c, w_c = q6.shape[1] - 2, q6.shape[3] - 2, q6.shape[4] - 2
     c = spec.dim
     heads, hd = spec.num_heads, spec.head_dim
     tfd, hfd, wfd = thw_f
     l = tfd * hfd * wfd
     r_fine, tile, tiles_per_plane = _decoder_tile_plan(spec, thw_f)
     st, sh, sw = (int(s) for s in spec.stride_q)
-    fold = spec.dim <= 384
     # T offsets actually used: stride-1 taps reach planes m−1..m+1; stride-2 phase
     # taps only m and m+1 (k=3, p=1, op=1)
     ets = (-1, 0, 1) if st == 1 else (0, 1)
-    # shared element-offset views: 2-plane block per coarse m (st=2) or 4-plane
-    # block per fine-plane pair (st=1, needs an even fine-plane count)
-    elem_planes = 0
-    if DEC_ELEMENT_VIEWS:
-        if st == 2:
-            elem_planes = 2
-        elif st == 1 and tfd % 2 == 0:
-            elem_planes = 4
 
     ws, cp, cop, has_res = _prep_tail_weights(p, spec, skip.dtype)
     hd_p = _round_up(hd, 128)
@@ -1085,44 +1067,38 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
     kernel = functools.partial(
         _decoder_kernel,
         ets=ets,
-        heads=heads, hd_real=hd, c_real=c, scale=float(spec.scale),
+        heads=heads, hd_p=hd_p, hd_real=hd, c_real=c, scale=float(spec.scale),
         has_res_proj=has_res, has_norm_q=has_norm_q,
         st=st, sh=sh, sw=sw, t_c=t_c, h_c=h_c, w_c=w_c,
         r_fine=r_fine, tiles_per_plane=tiles_per_plane,
-        fold_heads=fold, elem_planes=elem_planes,
+        fold_heads=fold,
         debug_skip=frozenset(DEC_DEBUG_SKIP),
     )
 
-    def _bspec(shape, fn, elem=False):
+    def _bspec(shape, fn):
         """BlockSpec whose index map matches the grid arity for this mode."""
-        if elem:
-            shape = tuple(pl.Element(s) for s in shape)
         if fold:
             return pl.BlockSpec(shape, lambda i, j, fn=fn: fn(i, j), memory_space=pltpu.VMEM)
         return pl.BlockSpec(shape, lambda i, j, h, fn=fn: fn(i, j), memory_space=pltpu.VMEM)
 
     def qview(e):
-        # head-independent index map (all heads carried per block): consecutive
-        # tile/head steps hit the same block, so Mosaic fetches each coarse plane
+        # head-independent index maps: consecutive tile (and, heads-on-grid,
+        # head) steps hit the same block, so Mosaic fetches each coarse plane
         # once per fine T plane. The +1 skips the baked leading zero plane; no
-        # clip needed (OOB offsets land on the zero planes).
+        # clip needed (OOB offsets land on the zero planes). Fold mode carries
+        # all heads in the lane dim (5-D, matmul-native); grid mode carries
+        # them on a heads axis (6-D).
+        if fold:
+            return _bspec(
+                (1, 1, h_c + 2, w_c + 2, heads * hd_p),
+                lambda i, j, e=e: (i, j // tiles_per_plane // st + e + 1, 0, 0, 0),
+            )
         return _bspec(
             (1, 1, heads, h_c + 2, w_c + 2, hd_p),
             lambda i, j, e=e: (i, j // tiles_per_plane // st + e + 1, 0, 0, 0, 0),
         )
 
-    if elem_planes:
-        # ONE shared view; element offset advances every (2//st)·st fine planes.
-        # st=2: planes m+1..m+2 serve both phases of coarse m. st=1: planes
-        # 2⌊m/2⌋ .. +3 serve the fine-plane pair (kernel adds the parity).
-        if st == 2:
-            qoff = lambda i, j: (i, j // tiles_per_plane // 2 + 1, 0, 0, 0, 0)
-        else:
-            qoff = lambda i, j: (i, 2 * (j // tiles_per_plane // 2), 0, 0, 0, 0)
-        qviews = [_bspec((1, elem_planes, heads, h_c + 2, w_c + 2, hd_p), qoff,
-                         elem=True)]
-    else:
-        qviews = [qview(e) for e in ets]
+    qviews = [qview(e) for e in ets]
 
     in_specs = qviews + [
         _bspec((1, tile, cp), lambda i, j: (i, j, 0)),
@@ -1190,12 +1166,14 @@ def fused_decoder_block(q5_coarse, skip, k_pooled, v_pooled, params, spec, thw_f
                         interpret: bool = False):
     """Run a decoder (upsample-Q) block through the fused kernel.
 
-    q5_coarse: (B, T_c, H_c+2, W_c, heads·hd_p) row-padded coarse Q (post LN1 +
-    Q-projection + bias, PRE upsample conv) with each head in its own 128k-lane
-    slot, pads zero; skip: (B, L_f, C) trilinear-upsampled residual; k/v:
-    (B, heads, Lk, hd) pooled+normed; thw_f: fine grid. The subpixel upsample
-    conv, pool norm, 64-token attention, head-accumulated projection, residual
-    and MLP tail all run per fine tile in VMEM. Returns (B, L_f, dim_out)."""
+    q5_coarse: zero-halo-padded coarse Q from models/mvit.py _coarse_q_slots
+    (post LN1 + Q-projection + bias, PRE upsample conv) with each head in its
+    own 128k-lane slot, pads zero — 5-D heads-in-lanes for heads-folded blocks,
+    6-D heads-major otherwise (see _fused_decoder_impl); skip: (B, L_f, C)
+    trilinear-upsampled residual; k/v: (B, heads, Lk, hd) pooled+normed;
+    thw_f: fine grid. The subpixel upsample conv, pool norm, 64-token
+    attention, head-accumulated projection, residual and MLP tail all run per
+    fine tile in VMEM. Returns (B, L_f, dim_out)."""
     return _fused_decoder(q5_coarse, skip, k_pooled, v_pooled, params, spec,
                           tuple(thw_f), interpret)
 
@@ -1216,102 +1194,106 @@ def fused_decoder_block(q5_coarse, skip, k_pooled, v_pooled, params, spec, thw_f
 
 def _pool_block_kernel(
     *refs,
-    heads: int, hd_real: int, c_real: int, scale: float,
+    heads: int, hd_p: int, hd_real: int, c_real: int, scale: float,
     has_res_proj: bool, has_norm_q: bool,
     t_c: int, h_f: int, w_f: int, r_out: int, tiles_per_plane: int,
 ):
-    """One (batch, out-row-tile, head) grid step.
+    """One (batch, out-row-tile) grid step, heads folded in-kernel.
 
-    q views: six (1, 1, heads, RB, W_f, hd_p) ROW-BLOCK views of the fine Q planes
-    — (T offset −1/0/+1) × (row-block jt, jt+1), RB = 2·r_out fine rows; the
-    kernel stitches the (RB+2)-row halo window from two adjacent row blocks, so
-    VMEM holds row windows, never whole planes (a full 64-row plane set OOMs).
-    x: two row-block views of the raw input plane padded with −1e30 rows (MaxPool
-    identity). k/v: (1, heads, Lk, hd_p). out: (1, TILE, Cop), TILE = r_out·(W_f/2)
-    coarse tokens (whole output rows)."""
+    q views: six (1, 1, RB, W_f, heads·hd_p) ROW-BLOCK views of the fine Q
+    planes in the heads-in-lanes slot layout (models/mvit.py _pool_q_slots) —
+    (T offset −1/0/+1) × (row-block jt, jt+1), RB = 2·r_out fine rows; the
+    kernel stitches the (RB+2)-row halo window from two adjacent row blocks
+    (VMEM holds row windows, never whole planes — a full 64-row plane set
+    OOMs), slicing each head's 128k-lane slot statically inside the head loop
+    so the fp32 temporaries stay per-head sized. k/v: (1, heads, Lk, hd_p).
+    out: (1, TILE, Cop), TILE = r_out·(W_f/2) coarse tokens (whole output
+    rows). Heads folded (round 3, same recipe as the d3/d4 decoder fold):
+    heads× fewer grid steps, no revisited fp32 accumulator, one out write —
+    and the head-independent index maps keep each view fetched once per tile."""
     (qa_m1, qb_m1, qa_0, qb_0, qa_p1, qb_p1, skip_ref,
      k_ref, v_ref, wconv_ref, nqs_ref, nqb_ref, wproj_ref, bproj_ref,
      ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
-     wres_ref, bres_ref, out_ref, acc_scr) = refs
+     wres_ref, bres_ref, out_ref) = refs
     f32 = jnp.float32
     j = pl.program_id(1)
-    h = pl.program_id(2)
     t_o = j // tiles_per_plane
     w_o = w_f // 2
-    hd_p = qa_0.shape[-1]
-
-    @pl.when(h == 0)
-    def _():
-        acc_scr[:] = jnp.zeros_like(acc_scr)
-
-    # ---- pooled Q: dense 3×3×3 taps, stride-2 row selection + col downsample ----
     views = ((qa_m1, qb_m1), (qa_0, qb_0), (qa_p1, qb_p1))
-    acc = jnp.zeros((r_out, w_f, hd_p), f32)
-    for dt in range(3):
-        t_src = t_o + dt - 1
-        va, vb = views[dt]
-        win = jnp.concatenate([va[0, 0, h], vb[0, 0, h, :2]], axis=0)
-        valid = jnp.logical_and(t_src >= 0, t_src < t_c)
-        win = (win * valid.astype(win.dtype)).astype(f32)
-        winp = jnp.pad(win, ((0, 0), (1, 1), (0, 0)))
-        # hoist the three column-shifted (sublane) variants — one shuffle each,
-        # reused across the 9 spatial taps. Strided row selection must go through
-        # a reshape (Mosaic lowers a[::2] on 3-D arrays as an unsupported gather).
-        shifted = [winp[:, dw : dw + w_f, :] for dw in range(3)]
-        for dh in range(3):
-            for dw in range(3):
-                dense = shifted[dw][dh : dh + 2 * r_out]     # (2·r_out, W_f, hd_p)
-                rows = dense.reshape(r_out, 2, w_f, hd_p)[:, 0]
-                acc = acc + wconv_ref[dt, dh, dw].astype(f32) * rows
-    q = acc.reshape(r_out, w_o, 2, hd_p)[:, :, 0].reshape(r_out * w_o, hd_p)
 
-    if has_norm_q:
-        mean = jnp.sum(q, axis=-1, keepdims=True) / hd_real
-        var = jnp.sum(jnp.square(q), axis=-1, keepdims=True) / hd_real - jnp.square(mean)
-        q = (q - mean) * jax.lax.rsqrt(var + 1e-5)
-        q = q * nqs_ref[0].astype(f32) + nqb_ref[0].astype(f32)
-    qh = q.astype(out_ref.dtype)
+    acc_all = None
+    for h in range(heads):
+        lo = h * hd_p
+        # ---- pooled Q: dense 3×3×3 taps, stride-2 row selection + col pick ----
+        acc = jnp.zeros((r_out, w_f, hd_p), f32)
+        for dt in range(3):
+            t_src = t_o + dt - 1
+            va, vb = views[dt]
+            win = jnp.concatenate(
+                [va[0, 0, :, :, lo : lo + hd_p], vb[0, 0, :2, :, lo : lo + hd_p]],
+                axis=0,
+            )
+            valid = jnp.logical_and(t_src >= 0, t_src < t_c)
+            win = (win * valid.astype(win.dtype)).astype(f32)
+            winp = jnp.pad(win, ((0, 0), (1, 1), (0, 0)))
+            # hoist the three column-shifted (sublane) variants — one shuffle
+            # each, reused across the 9 spatial taps. Strided row selection must
+            # go through a reshape (Mosaic lowers a[::2] on 3-D arrays as an
+            # unsupported gather).
+            shifted = [winp[:, dw : dw + w_f, :] for dw in range(3)]
+            for dh in range(3):
+                for dw in range(3):
+                    dense = shifted[dw][dh : dh + 2 * r_out]  # (2·r_out, W_f, hd_p)
+                    rows = dense.reshape(r_out, 2, w_f, hd_p)[:, 0]
+                    acc = acc + wconv_ref[dt, dh, dw].astype(f32) * rows
+        q = acc.reshape(r_out, w_o, 2, hd_p)[:, :, 0].reshape(r_out * w_o, hd_p)
 
-    logits = jax.lax.dot_general(
-        qh, k_ref[0, h], (((1,), (1,)), ((), ())), preferred_element_type=f32
-    ) * scale
-    lmax = jnp.max(logits, axis=-1, keepdims=True)
-    prob = jnp.exp(logits - lmax)
-    prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
-    av = jnp.dot(prob.astype(out_ref.dtype), v_ref[0, h], preferred_element_type=f32)
-    acc_scr[:] += jnp.dot(av.astype(out_ref.dtype), wproj_ref[h], preferred_element_type=f32)
+        if has_norm_q:
+            mean = jnp.sum(q, axis=-1, keepdims=True) / hd_real
+            var = jnp.sum(jnp.square(q), axis=-1, keepdims=True) / hd_real - jnp.square(mean)
+            q = (q - mean) * jax.lax.rsqrt(var + 1e-5)
+            q = q * nqs_ref[0].astype(f32) + nqb_ref[0].astype(f32)
+        qh = q.astype(out_ref.dtype)
 
-    @pl.when(h == heads - 1)
-    def _():
-        # MaxPool skip arrives pre-pooled from XLA (pool_tokens_max) — passing the
-        # raw fine planes cost two more halo views per step (VMEM + traffic)
-        res1 = skip_ref[0].astype(f32) + acc_scr[:] + bproj_ref[:].astype(f32)
-        mean2 = jnp.sum(res1, axis=-1, keepdims=True) / c_real
-        var2 = jnp.sum(jnp.square(res1), axis=-1, keepdims=True) / c_real - jnp.square(mean2)
-        xn2 = (res1 - mean2) * jax.lax.rsqrt(var2 + 1e-6)
-        xn2 = xn2 * ln2s_ref[:].astype(f32) + ln2b_ref[:].astype(f32)
-        xn2_16 = xn2.astype(out_ref.dtype)
-        hid_p2 = wfc1_ref.shape[1]
-        step = min(hid_p2, 1536)
-        mlp = jnp.zeros((res1.shape[0], out_ref.shape[-1]), f32) + bfc2_ref[:].astype(f32)
-        for s in range(0, hid_p2, step):
-            pre = (
-                jnp.dot(xn2_16, wfc1_ref[:, s : s + step], preferred_element_type=f32)
-                + bfc1_ref[:, s : s + step].astype(f32)
-            )
-            act = 0.5 * pre * (1.0 + _erf(pre * np.float32(1.0 / np.sqrt(2.0))))
-            mlp = mlp + jnp.dot(
-                act.astype(out_ref.dtype), wfc2_ref[s : s + step, :],
-                preferred_element_type=f32,
-            )
-        if has_res_proj:
-            base = (
-                jnp.dot(xn2_16, wres_ref[:], preferred_element_type=f32)
-                + bres_ref[:].astype(f32)
-            )
-        else:
-            base = res1
-        out_ref[0] = (base + mlp).astype(out_ref.dtype)
+        logits = jax.lax.dot_general(
+            qh, k_ref[0, h], (((1,), (1,)), ((), ())), preferred_element_type=f32
+        ) * scale
+        lmax = jnp.max(logits, axis=-1, keepdims=True)
+        prob = jnp.exp(logits - lmax)
+        prob = prob / jnp.sum(prob, axis=-1, keepdims=True)
+        av = jnp.dot(prob.astype(out_ref.dtype), v_ref[0, h], preferred_element_type=f32)
+        contrib = jnp.dot(av.astype(out_ref.dtype), wproj_ref[h], preferred_element_type=f32)
+        acc_all = contrib if acc_all is None else acc_all + contrib
+
+    # MaxPool skip arrives pre-pooled from XLA (pool_tokens_max) — passing the
+    # raw fine planes cost two more halo views per step (VMEM + traffic)
+    res1 = skip_ref[0].astype(f32) + acc_all + bproj_ref[:].astype(f32)
+    mean2 = jnp.sum(res1, axis=-1, keepdims=True) / c_real
+    var2 = jnp.sum(jnp.square(res1), axis=-1, keepdims=True) / c_real - jnp.square(mean2)
+    xn2 = (res1 - mean2) * jax.lax.rsqrt(var2 + 1e-6)
+    xn2 = xn2 * ln2s_ref[:].astype(f32) + ln2b_ref[:].astype(f32)
+    xn2_16 = xn2.astype(out_ref.dtype)
+    hid_p2 = wfc1_ref.shape[1]
+    step = min(hid_p2, 1536)
+    mlp = jnp.zeros((res1.shape[0], out_ref.shape[-1]), f32) + bfc2_ref[:].astype(f32)
+    for s in range(0, hid_p2, step):
+        pre = (
+            jnp.dot(xn2_16, wfc1_ref[:, s : s + step], preferred_element_type=f32)
+            + bfc1_ref[:, s : s + step].astype(f32)
+        )
+        act = 0.5 * pre * (1.0 + _erf(pre * np.float32(1.0 / np.sqrt(2.0))))
+        mlp = mlp + jnp.dot(
+            act.astype(out_ref.dtype), wfc2_ref[s : s + step, :],
+            preferred_element_type=f32,
+        )
+    if has_res_proj:
+        base = (
+            jnp.dot(xn2_16, wres_ref[:], preferred_element_type=f32)
+            + bres_ref[:].astype(f32)
+        )
+    else:
+        base = res1
+    out_ref[0] = (base + mlp).astype(out_ref.dtype)
 
 
 def _pool_tile_plan(spec, thw):
@@ -1358,17 +1340,18 @@ def pool_block_eligible(spec, mask, deterministic: bool, thw, lk: int) -> bool:
 
 
 def _fused_pool_impl(q6, skip, k, v, p, spec, thw, interpret: bool):
-    """q6: (B, T, heads, H_f+RB, W_f, hd_p) FINE Q (post LN1+Wq+bias, PRE pool
-    conv) with rows padded (1 top zero, RB−1 bottom zeros), RB = 2·r_out; skip:
-    (B, L/4, C) the MaxPool residual, already pooled by XLA; k/v: (B, heads, Lk,
-    hd) pooled+normed. thw: the UNPADDED fine grid."""
+    """q6: (B, T, H_f+RB, W_f, heads·hd_p) FINE Q in the heads-in-lanes slot
+    layout (post LN1+Wq+bias, PRE pool conv) with rows padded (1 top zero, RB−1
+    bottom zeros), RB = 2·r_out; skip: (B, L/4, C) the MaxPool residual, already
+    pooled by XLA; k/v: (B, heads, Lk, hd) pooled+normed. thw: the UNPADDED
+    fine grid."""
     b = q6.shape[0]
     t_c, h_fd, w_fd = thw
     c = spec.dim
     heads, hd = spec.num_heads, spec.head_dim
     r_out, tile, tiles_per_plane = _pool_tile_plan(spec, thw)
     rb = 2 * r_out
-    assert q6.shape[3] == h_fd + rb, (q6.shape, thw, rb)
+    assert q6.shape[2] == h_fd + rb, (q6.shape, thw, rb)
     l_out = t_c * (h_fd // 2) * (w_fd // 2)
 
     ws, cp, cop, has_res = _prep_tail_weights(p, spec, k.dtype)
@@ -1397,18 +1380,19 @@ def _fused_pool_impl(q6, skip, k, v, p, spec, thw, interpret: bool):
 
     kernel = functools.partial(
         _pool_block_kernel,
-        heads=heads, hd_real=hd, c_real=c, scale=float(spec.scale),
+        heads=heads, hd_p=hd_p, hd_real=hd, c_real=c, scale=float(spec.scale),
         has_res_proj=has_res, has_norm_q=has_norm_q,
         t_c=t_c, h_f=h_fd, w_f=w_fd, r_out=r_out, tiles_per_plane=tiles_per_plane,
     )
 
     def qview(e_t, e_r):
         # row-block views: (T plane t_o+e_t clamped) × (row block jt+e_r); bottom
-        # row padding guarantees jt+1 is always a valid block
+        # row padding guarantees jt+1 is always a valid block. All heads ride the
+        # lane dim, so the maps stay head-free and each view loads once per tile.
         return pl.BlockSpec(
-            (1, 1, heads, rb, w_fd, hd_p),
-            lambda i, j, h, e_t=e_t, e_r=e_r: (
-                i, jnp.clip(j // tiles_per_plane + e_t, 0, t_c - 1), 0,
+            (1, 1, rb, w_fd, heads * hd_p),
+            lambda i, j, e_t=e_t, e_r=e_r: (
+                i, jnp.clip(j // tiles_per_plane + e_t, 0, t_c - 1),
                 j % tiles_per_plane + e_r, 0, 0,
             ),
             memory_space=pltpu.VMEM,
@@ -1419,28 +1403,27 @@ def _fused_pool_impl(q6, skip, k, v, p, spec, thw, interpret: bool):
     in_specs = [
         qview(-1, 0), qview(-1, 1), qview(0, 0), qview(0, 1),
         qview(1, 0), qview(1, 1),
-        pl.BlockSpec((1, tile, cp), lambda i, j, h: (i, j, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j, h: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j, h: (i, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((3, 3, 3, hd_p), lambda i, j, h: (0, 0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hd_p), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, hd_p), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((heads, hd_p, cp), lambda i, j, h: (0, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec(bproj.shape, lambda i, j, h: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, cp), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((3, 3, 3, hd_p), lambda i, j: (0, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd_p), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, hd_p), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((heads, hd_p, cp), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(bproj.shape, lambda i, j: (0, 0), memory_space=pltpu.VMEM),
     ]
     for w in ws:
         nd = w.ndim
         in_specs.append(
-            pl.BlockSpec(w.shape, lambda i, j, h, nd=nd: (0,) * nd, memory_space=pltpu.VMEM)
+            pl.BlockSpec(w.shape, lambda i, j, nd=nd: (0,) * nd, memory_space=pltpu.VMEM)
         )
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, l_out // tile, heads),
+        grid=(b, l_out // tile),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, tile, cop), lambda i, j, h: (i, j, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, tile, cop), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, l_out, cop), dt),
-        scratch_shapes=[pltpu.VMEM((tile, cp), jnp.float32)],
         interpret=interpret,
     )(q6, q6, q6, q6, q6, q6, skip_p, kp, vp, wconv, nqs, nqb, wproj, bproj, *ws)
     return out[..., : spec.dim_out]

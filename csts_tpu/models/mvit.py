@@ -377,74 +377,119 @@ def multiscale_attention_apply(
 def _pooled_kv(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
     """Phase 1 for the fused-block kernel: LN1 + the K/V slice of the fused qkv
     projection + depthwise-conv pooling + pool-norm, in XLA (the pooling conv needs
-    cross-tile halos, so it stays outside the kernel)."""
+    cross-tile halos, so it stays outside the kernel).
+
+    The head split happens AFTER the pooling conv: the qkv projection packs k's
+    channels head-major (head·hd + d), which is exactly ``_heads_to_grid``'s
+    channel order, so the conv consumes the matmul output's token-major layout
+    directly (a lane slice + bitcast reshape). Splitting heads first — the
+    obvious (B, heads, L, hd) form — materialized two fine-resolution head
+    transposes per block plus a k/v split pass (~13 ms/block at stem scale,
+    batch 128; tools/profile_forward.py timeline). At the pooled Lk the
+    transpose is noise."""
     xn = ops.layer_norm(p["norm1"], x)
     wq = p["attn"]["qkv"]["w"]
+    qkv_b = p["attn"]["qkv"].get("b")
+    b = x.shape[0]
+    c = spec.num_heads * spec.head_dim
+    if "pool_k" in p["attn"]:
+        # separate k and v matmuls: one fused (B,L,2C) projection forces a
+        # materialized split pass before the convs (XLA cannot fuse a slice
+        # into a convolution operand — measured 4.9 ms/block at stem scale)
+        t, h, w = thw
+        outs = []
+        for which, off in (("pool_k", spec.dim), ("pool_v", 2 * spec.dim)):
+            w_half = {"w": wq[:, off : off + spec.dim]}
+            if qkv_b is not None:
+                w_half["b"] = qkv_b[off : off + spec.dim]
+            fine = ops.linear_apply(w_half, xn).reshape(b, t, h, w, c)
+            w_tiled = (
+                jnp.tile(p["attn"][which], (1, 1, 1, 1, spec.num_heads))
+                if spec.num_heads > 1 else p["attn"][which]
+            )
+            outs.append(ops.depthwise_conv3d(
+                w_tiled, fine, spec.stride_kv, spec.padding_kv
+            ))
+        k, _ = _grid_to_heads(outs[0], spec.num_heads)
+        v, _ = _grid_to_heads(outs[1], spec.num_heads)
+        if "norm_k" in p["attn"]:
+            k = ops.layer_norm(p["attn"]["norm_k"], k, eps=1e-5)
+        if "norm_v" in p["attn"]:
+            v = ops.layer_norm(p["attn"]["norm_v"], v, eps=1e-5)
+        return k, v
     kv_w = {"w": wq[:, spec.dim :]}
-    if "b" in p["attn"]["qkv"]:
-        kv_w["b"] = p["attn"]["qkv"]["b"][spec.dim :]
+    if qkv_b is not None:
+        kv_w["b"] = qkv_b[spec.dim :]
     kv = ops.linear_apply(kv_w, xn)
-    b, l, _ = kv.shape
+    l = kv.shape[1]
     kv = kv.reshape(b, l, 2, spec.num_heads, spec.head_dim)
     k = kv[:, :, 0].transpose(0, 2, 1, 3)
     v = kv[:, :, 1].transpose(0, 2, 1, 3)
-    if "pool_k" in p["attn"]:
-        k, _ = pool_heads_conv(
-            k, p["attn"]["pool_k"], p["attn"].get("norm_k"), thw,
-            spec.stride_kv, spec.padding_kv,
-        )
-        v, _ = pool_heads_conv(
-            v, p["attn"]["pool_v"], p["attn"].get("norm_v"), thw,
-            spec.stride_kv, spec.padding_kv,
-        )
     return k, v
+
+
+def _slot_q_proj(p: dict, spec: AttentionSpec, xn: jax.Array) -> jax.Array:
+    """LN1'd tokens -> (B, L, heads·hd_p) Q with each head in its own 128k-lane
+    slot, emitted DIRECTLY by the matmul: the Q weight/bias columns are padded to
+    the slot layout, so the zero lanes come out of the MXU for free. Padding the
+    activations instead cost a full-tensor pad pass per block (3.3 ms at stem
+    scale, batch 128 — tools/profile_forward.py timeline)."""
+    hd, heads = spec.head_dim, spec.num_heads
+    hd_p = (hd + 127) // 128 * 128
+    wq = p["attn"]["qkv"]["w"][:, : spec.dim].reshape(-1, heads, hd)
+    slot_w = {"w": jnp.pad(wq, [(0, 0), (0, 0), (0, hd_p - hd)]).reshape(-1, heads * hd_p)}
+    if "b" in p["attn"]["qkv"]:
+        bq = p["attn"]["qkv"]["b"][: spec.dim].reshape(heads, hd)
+        slot_w["b"] = jnp.pad(bq, [(0, 0), (0, hd_p - hd)]).reshape(heads * hd_p)
+    return ops.linear_apply(slot_w, xn)
 
 
 def _coarse_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
     """Phase 1 for the fused decoder kernel (kernels/block.py): LN1 + the Q slice of
-    the fused qkv projection, emitted as a 5-D COARSE grid with each head padded
+    the fused qkv projection, emitted as a COARSE grid with each head padded
     into its own 128k-lane channel slot (pads zero) and one zero plane/row/column
     on every spatial side — the kernel's halo windows then never go out of range
     AND out-of-range taps read zeros directly, so the kernel does no validity
     multiply or per-window pad (both measured ~33 ms at d3/batch 128). The
     subpixel upsample conv and the pool-norm LayerNorm run inside the kernel, so
-    fine-resolution Q never exists in HBM (attention.py:251-289)."""
+    fine-resolution Q never exists in HBM (attention.py:251-289).
+
+    Heads-folded blocks (kb.decoder_heads_in_lanes) take the 5-D heads-IN-LANES
+    layout (B, T+2, H+2, W+2, heads·hd_p) — the matmul output order, no
+    transpose; the kernel slices each head's lane slot statically. The dim-768
+    blocks (heads on the Pallas grid) keep the heads-major 6-D layout so their
+    view index maps stay head-independent (a per-head-indexed view refetches
+    per head step — measured 12 GB of view traffic at d4 in round 2)."""
+    from csts_tpu.kernels import block as kb
+
     xn = ops.layer_norm(p["norm1"], x)
-    wq = {"w": p["attn"]["qkv"]["w"][:, : spec.dim]}
-    if "b" in p["attn"]["qkv"]:
-        wq["b"] = p["attn"]["qkv"]["b"][: spec.dim]
-    q = ops.linear_apply(wq, xn)  # (B, L, C) at coarse resolution
-    b, l, _ = q.shape
+    t, h, w = thw
+    b = x.shape[0]
     hd, heads = spec.head_dim, spec.num_heads
     hd_p = (hd + 127) // 128 * 128
-    q = q.reshape(b, l, heads, hd)
-    q = jnp.pad(q, [(0, 0), (0, 0), (0, 0), (0, hd_p - hd)])
-    t, h, w = thw
-    # heads-major 6-D layout (one coarse transpose — the kernel's views then carry
-    # all heads per block so their index maps don't depend on the head grid axis)
+    q = _slot_q_proj(p, spec, xn)  # (B, L, heads·hd_p) at coarse resolution
+    if kb.decoder_heads_in_lanes(spec):
+        grid = q.reshape(b, t, h, w, heads * hd_p)
+        return jnp.pad(grid, [(0, 0), (1, 1), (1, 1), (1, 1), (0, 0)])
     grid = q.reshape(b, t, h, w, heads, hd_p).transpose(0, 1, 4, 2, 3, 5)
     return jnp.pad(grid, [(0, 0), (1, 1), (0, 0), (1, 1), (1, 1), (0, 0)])
 
 
 def _pool_q_slots(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW, r_out: int):
-    """Fine-resolution Q in heads-major row-block layout for the fused Q-pool
-    kernel (kernels/block.py): LN1 + the Q slice of the qkv projection, heads
-    padded to 128k lanes, rows padded (1 zero top, 2·r_out−1 zeros bottom) so the
-    kernel's two-row-block halo windows are always whole blocks."""
+    """Fine-resolution Q for the fused Q-pool kernel (kernels/block.py): LN1 + the
+    Q slice of the qkv projection in the 5-D heads-in-lanes slot layout
+    (B, T, 1+H_f+(2·r_out−1), W_f, heads·hd_p) — matmul-native, no transpose —
+    with rows padded (1 zero top, 2·r_out−1 zeros bottom) so the kernel's
+    two-row-block halo windows are always whole blocks."""
     xn = ops.layer_norm(p["norm1"], x)
-    wq = {"w": p["attn"]["qkv"]["w"][:, : spec.dim]}
-    if "b" in p["attn"]["qkv"]:
-        wq["b"] = p["attn"]["qkv"]["b"][: spec.dim]
-    q = ops.linear_apply(wq, xn)
-    b, l, _ = q.shape
+    b = x.shape[0]
+    t, h, w = thw
     hd, heads = spec.head_dim, spec.num_heads
     hd_p = (hd + 127) // 128 * 128
-    q = q.reshape(b, l, heads, hd)
-    q = jnp.pad(q, [(0, 0), (0, 0), (0, 0), (0, hd_p - hd)])
-    t, h, w = thw
-    grid = q.reshape(b, t, h, w, heads, hd_p).transpose(0, 1, 4, 2, 3, 5)
+    q = _slot_q_proj(p, spec, xn)
+    grid = q.reshape(b, t, h, w, heads * hd_p)
     rb = 2 * r_out
-    return jnp.pad(grid, [(0, 0), (0, 0), (0, 0), (1, rb - 1), (0, 0), (0, 0)])
+    return jnp.pad(grid, [(0, 0), (0, 0), (1, rb - 1), (0, 0), (0, 0)])
 
 
 def _static_pool_out(thw: THW, kernel, stride, padding) -> THW:

@@ -178,8 +178,7 @@ DEC_CASES = [
     (768, 384, 4, (4, 16, 16), (1, 2, 2), (1, 4, 4)),
     (384, 192, 4, (4, 8, 16), (1, 2, 2), (1, 8, 8)),
     (192, 96, 2, (4, 8, 16), (2, 1, 1), (1, 4, 4)),
-    # odd fine-plane count at st=1: DEC_ELEMENT_VIEWS must fall back to the
-    # legacy per-et views (elem_planes pairing needs an even T)
+    # odd fine-plane count at st=1 (tiling edge case)
     (192, 96, 2, (3, 8, 16), (1, 2, 2), (1, 4, 4)),
 ]
 
@@ -218,34 +217,6 @@ def test_fused_decoder_block_matches_composite(rng, dim, dim_out, heads, thw, sq
     assert kb.decoder_eligible(spec, None, True, thw_f, k.shape[2])
     out = kb.fused_decoder_block(q5, skip, k, v, params, spec, thw_f, interpret=True)
     assert out.shape == ref.shape
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
-
-
-@pytest.mark.parametrize("case", [DEC_CASES[1], DEC_CASES[2]])
-def test_decoder_element_views_parity(rng, case, monkeypatch):
-    """The gated pl.Element shared-view mode (DEC_ELEMENT_VIEWS) stays correct
-    for both the st=1 4-plane and st=2 2-plane variants (measured neutral
-    on-chip — see the flag's comment in kernels/block.py)."""
-    monkeypatch.setattr(kb, "DEC_ELEMENT_VIEWS", True)
-    dim, dim_out, heads, thw, sq, skv = case
-    spec = AttentionSpec(
-        dim=dim, dim_out=dim_out, num_heads=heads,
-        kernel_q=(3, 3, 3), kernel_kv=(3, 3, 3), stride_q=sq, stride_kv=skv,
-        upsample_q=True, fused=True,
-    )
-    params = make_block(jax.random.PRNGKey(7), spec)
-    l = thw[0] * thw[1] * thw[2]
-    x = jnp.asarray(rng.standard_normal((2, l, dim)) * 0.5, jnp.float32)
-    ka.set_enabled(False)
-    ref, _ = mvit.multiscale_block_apply(params, spec, x, thw)
-    ka.set_enabled(None)
-    k, v = mvit._pooled_kv(params, spec, x, thw)
-    q5 = mvit._coarse_q_slots(params, spec, x, thw)
-    thw_f = mvit._static_upsample_out(
-        thw, spec.kernel_q, spec.stride_q, spec.padding_q, spec.output_padding_q
-    )
-    skip, _ = mvit.upsample_tokens_trilinear(x, thw, sq)
-    out = kb.fused_decoder_block(q5, skip, k, v, params, spec, thw_f, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=1e-4)
 
 

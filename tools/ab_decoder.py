@@ -39,8 +39,6 @@ def main():
                     help="composite decoder + fused attention/tail kernels")
     ap.add_argument("--scales", type=int, nargs="+", default=[1, 2, 4],
                     help="DEC_TILE_SCALE values to sweep")
-    ap.add_argument("--views", action="store_true",
-                    help="A/B shared element-offset coarse-Q views vs per-et views")
     args = ap.parse_args()
     B, ITERS = args.batch, args.iters
 
@@ -109,23 +107,6 @@ def main():
                       params[f"decode_block{i+1}"], inputs[i])
         finally:
             ka.set_enabled(None)
-        return
-
-    if args.views:
-        # Shared element-offset coarse-Q views (DEC_ELEMENT_VIEWS): the d3/d4
-        # floors are view streaming, so sharing the fetched plane block across
-        # the fine-plane pair should cut that traffic ~1.5x at st=1.
-        for on in (False, True):
-            kb.DEC_ELEMENT_VIEWS = on
-            tag = "element" if on else "per-et"
-            for i in (1, 2, 3):
-                name = f"decode blk {i+1} d{spec.decoder_blocks[i].dim} views={tag}"
-                try:
-                    timed(name, block_fn(i), params[f"decode_block{i+1}"], inputs[i])
-                except Exception as e:
-                    print(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}",
-                          flush=True)
-        kb.DEC_ELEMENT_VIEWS = True
         return
 
     if args.ablate_kernel:
