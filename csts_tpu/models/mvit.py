@@ -333,35 +333,95 @@ def multiscale_attention_apply(
     ``reverse_split``: TemporalAttention's ``reverse`` mode (av_attention.py:140-146)
     — after pooling, the value rows are rotated so tokens [split:] come first
     (swapping the video/audio halves of the fused sequence).
-    """
-    qkv = ops.linear_apply(p["qkv"], x)
-    b, l, _ = qkv.shape
-    qkv = qkv.reshape(b, l, 3, spec.num_heads, spec.head_dim)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
 
+    Pooled projections run token-major (round 3): each of q/k/v that feeds a
+    conv gets its own matmul slice whose (B, L, C) output the depthwise conv
+    consumes directly — the qkv channel order IS ``_heads_to_grid``'s — and
+    heads split only at the attention input. The fused-qkv form forced a
+    materialized 3-way split plus a heads round trip at conv (fine) resolution
+    (XLA cannot fuse a slice into a conv operand; ~13 ms/block at stem scale,
+    batch 128 — tools/profile_forward.py). ``has_cls`` and conv-free blocks
+    keep the fused-qkv path (the cls token bypasses pooling, and without convs
+    one fused matmul is strictly better)."""
+    b, l, _ = x.shape
+    c = spec.num_heads * spec.head_dim
+    token_major = not spec.has_cls and ("pool_q" in p or "pool_k" in p)
     q_thw = thw
-    if spec.upsample_q:
-        if "pool_q" in p:
-            q, q_thw = upsample_heads_conv(
-                q, p["pool_q"], p.get("norm_q"), thw,
-                spec.stride_q, spec.padding_q, spec.output_padding_q,
+
+    if token_major:
+
+        def proj_slice(idx):
+            w_sl = {"w": p["qkv"]["w"][:, idx * spec.dim : (idx + 1) * spec.dim]}
+            if "b" in p["qkv"]:
+                w_sl["b"] = p["qkv"]["b"][idx * spec.dim : (idx + 1) * spec.dim]
+            return ops.linear_apply(w_sl, x)
+
+        def split_heads(tokens):
+            return tokens.reshape(
+                b, tokens.shape[1], spec.num_heads, spec.head_dim
+            ).transpose(0, 2, 1, 3)
+
+        def pooled(idx, w_key, norm_key, transposed: bool):
+            grid = proj_slice(idx).reshape(b, *thw, c)
+            w_tiled = (
+                jnp.tile(p[w_key], (1, 1, 1, 1, spec.num_heads))
+                if spec.num_heads > 1 else p[w_key]
             )
-    elif "pool_q" in p:
-        q, q_thw = pool_heads_conv(
-            q, p["pool_q"], p.get("norm_q"), thw, spec.stride_q, spec.padding_q,
-            has_cls=spec.has_cls,
-        )
-    if "pool_k" in p:
-        k, _ = pool_heads_conv(
-            k, p["pool_k"], p.get("norm_k"), thw, spec.stride_kv, spec.padding_kv,
-            has_cls=spec.has_cls,
-        )
-        v, _ = pool_heads_conv(
-            v, p["pool_v"], p.get("norm_v"), thw, spec.stride_kv, spec.padding_kv,
-            has_cls=spec.has_cls,
-        )
+            if transposed:
+                out_grid = ops.depthwise_conv_transpose3d(
+                    w_tiled, grid, spec.stride_q, spec.padding_q,
+                    spec.output_padding_q,
+                )
+            elif w_key == "pool_q":
+                out_grid = ops.depthwise_conv3d(
+                    w_tiled, grid, spec.stride_q, spec.padding_q
+                )
+            else:
+                out_grid = ops.depthwise_conv3d(
+                    w_tiled, grid, spec.stride_kv, spec.padding_kv
+                )
+            out, new_thw = _grid_to_heads(out_grid, spec.num_heads)
+            if norm_key in p:
+                out = ops.layer_norm(p[norm_key], out, eps=1e-5)
+            return out, new_thw
+
+        if "pool_q" in p:
+            q, q_thw = pooled(0, "pool_q", "norm_q", transposed=spec.upsample_q)
+        else:
+            q = split_heads(proj_slice(0))
+        if "pool_k" in p:
+            k, _ = pooled(1, "pool_k", "norm_k", transposed=False)
+            v, _ = pooled(2, "pool_v", "norm_v", transposed=False)
+        else:
+            k = split_heads(proj_slice(1))
+            v = split_heads(proj_slice(2))
+    else:
+        qkv = ops.linear_apply(p["qkv"], x)
+        qkv = qkv.reshape(b, l, 3, spec.num_heads, spec.head_dim)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+
+        if spec.upsample_q:
+            if "pool_q" in p:
+                q, q_thw = upsample_heads_conv(
+                    q, p["pool_q"], p.get("norm_q"), thw,
+                    spec.stride_q, spec.padding_q, spec.output_padding_q,
+                )
+        elif "pool_q" in p:
+            q, q_thw = pool_heads_conv(
+                q, p["pool_q"], p.get("norm_q"), thw, spec.stride_q, spec.padding_q,
+                has_cls=spec.has_cls,
+            )
+        if "pool_k" in p:
+            k, _ = pool_heads_conv(
+                k, p["pool_k"], p.get("norm_k"), thw, spec.stride_kv, spec.padding_kv,
+                has_cls=spec.has_cls,
+            )
+            v, _ = pool_heads_conv(
+                v, p["pool_v"], p.get("norm_v"), thw, spec.stride_kv, spec.padding_kv,
+                has_cls=spec.has_cls,
+            )
 
     if reverse_split is not None:
         v = jnp.concatenate([v[:, :, reverse_split:], v[:, :, :reverse_split]], axis=2)
