@@ -85,6 +85,11 @@ def main():
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--out", default=None, help="write the full table as JSON")
     ap.add_argument("--trace-dir", default="/tmp/csts_prof")
+    ap.add_argument("--timeline", type=float, default=None, metavar="MS",
+                    help="also print ops >= MS in device order (one iteration) "
+                         "with their HLO output shapes — the section-attribution "
+                         "view (program order follows model order, modulo XLA's "
+                         "latency-hiding interleave of the video/audio branches)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -138,6 +143,21 @@ def main():
     for r in rows[: args.top]:
         print(f"{r['op'][:48]:48s} {r['category'][:22]:22s} {r['us_per_iter']/1000:8.2f} "
               f"{r['calls_per_iter']:6d} {r['gb_per_iter']:8.3f} {r['gbps']:7.1f}")
+    if args.timeline is not None:
+        import re
+
+        evs = sorted(events, key=lambda e: int(e["args"]["device_offset_ps"]))
+        one_iter = evs[len(evs) // args.iters * (args.iters // 2):][: len(evs) // args.iters]
+        print(f"-- timeline (ops >= {args.timeline} ms, one iteration) --")
+        for ev in one_iter:
+            dur = float(ev["args"]["device_duration_ps"]) / 1e9
+            if dur < args.timeline:
+                continue
+            m = re.search(r"= ([a-z0-9_]+\[[0-9,]+\])", ev["args"].get("long_name", ""))
+            shape = m.group(1) if m else ""
+            print(f"{ev['name'][:36]:36s} {dur:7.2f} ms  "
+                  f"{ev['args']['hlo_category'][:18]:18s} {shape}")
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"batch": args.batch, "iters": args.iters,
