@@ -775,6 +775,7 @@ def _decoder_kernel(
     has_res_proj: bool, has_norm_q: bool,
     st: int, sh: int, sw: int, t_c: int, h_c: int, w_c: int,
     r_fine: int, tiles_per_plane: int, fold_heads: bool = False,
+    paired_t: bool = False, whole_vol: bool = False,
     debug_skip: frozenset = frozenset(),
 ):
     """One (batch, fine-row-tile[, head]) grid step.
@@ -797,7 +798,7 @@ def _decoder_kernel(
     (1, TILE, Cp) · k/v (1, heads, Lk, hd_p) · wconv (3,3,3,hd_p) · wproj
     (heads, hd_p, Cp) · out (1, TILE, Cop) · scratch acc (TILE, Cp) fp32.
     TILE = r_fine·W_f fine tokens (whole fine rows of one fine T plane)."""
-    nv = len(ets)
+    nv = 1 if whole_vol else len(ets)
     qview_refs = refs[:nv]
     if fold_heads:
         (skip_ref, k_ref, v_ref, wconv_ref, nqs_ref, nqb_ref, wproj_ref, bproj_ref,
@@ -809,9 +810,18 @@ def _decoder_kernel(
          ln2s_ref, ln2b_ref, wfc1_ref, bfc1_ref, wfc2_ref, bfc2_ref,
          wres_ref, bres_ref, out_ref, acc_scr) = refs[nv:]
     f32 = jnp.float32
-    j = pl.program_id(1)
-    t_f = j // tiles_per_plane
-    c0 = (j % tiles_per_plane) * (r_fine // sh)  # first coarse row of this tile
+    if paired_t:
+        # grid (batch, coarse T plane, row tile): BOTH fine T phases of plane
+        # pair [2p, 2p+2) are computed in one step from the same two coarse
+        # views (ets 0/1 → planes p, p+1), halving views traffic and grid
+        # steps vs the per-fine-plane grid, and replacing the traced-parity
+        # jnp.where double-build with one explicit build per phase.
+        t_f = None
+        c0 = pl.program_id(2) * (r_fine // sh)
+    else:
+        j = pl.program_id(1)
+        t_f = j // tiles_per_plane
+        c0 = (j % tiles_per_plane) * (r_fine // sh)  # first coarse row of this tile
     rc = r_fine // sh                            # coarse rows per spatial phase
     w_f = w_c * sw
     views = dict(zip(ets, qview_refs))
@@ -826,7 +836,13 @@ def _decoder_kernel(
             # multiply or per-window pad here (each measured ~15-33 ms/block at
             # batch 128). Column-shifted (sublane) variants are hoisted and
             # computed ONCE per window.
-            win = views[et][0, 0, pl.ds(c0, rc + 2), :, h * hd_p : (h + 1) * hd_p]
+            if whole_vol:
+                # DEC_VOL_VIEWS experiment: the whole padded coarse volume is
+                # one batch-constant block; planes are dynamic T slices of it
+                win = qview_refs[0][0, t_f + et + 1, pl.ds(c0, rc + 2), :,
+                                    h * hd_p : (h + 1) * hd_p]
+            else:
+                win = views[et][0, 0, pl.ds(c0, rc + 2), :, h * hd_p : (h + 1) * hd_p]
             win = win.astype(f32)
             return {ew: win[:, 1 + ew : 1 + ew + w_c, :] for ew in (-1, 0, 1)}
     else:
@@ -868,14 +884,15 @@ def _decoder_kernel(
         full = rows[0] if sh == 1 else jnp.stack(rows, axis=1).reshape(rc * sh, w_f, hd_p)
         return full.reshape(r_fine * w_f, hd_p)
 
-    def head_contrib(h):
+    def head_contrib(h, r_t=0, wins=None):
         """Per-head: upsampled Q → pool-norm → attention → projected (TILE, Cp)."""
-        wins = {}
+        if wins is None:
+            wins = {}
         if "qwin" in debug_skip:
             # ablation: no window loads/shifts at all — q is a constant
             q = jnp.zeros((r_fine * w_f, hd_p), f32) + wconv_ref[0, 0, 0].astype(f32)
-        elif st == 1:
-            q = build_q(0, h, wins)
+        elif paired_t or st == 1:
+            q = build_q(r_t, h, wins)
         else:
             # both T phases are cheap VPU work on small windows; select by parity
             q = jnp.where(t_f % st == 0, build_q(0, h, wins), build_q(1, h, wins))
@@ -900,10 +917,18 @@ def _decoder_kernel(
             av = jnp.dot(prob.astype(out_ref.dtype), v_ref[0, h], preferred_element_type=f32)
         return jnp.dot(av.astype(out_ref.dtype), wproj_ref[h], preferred_element_type=f32)
 
-    def tail(acc):
-        res1 = skip_ref[0].astype(f32) + acc + bproj_ref[:].astype(f32)
+    def tail(acc, sl=None):
+        skip_blk = skip_ref[0, sl] if paired_t else skip_ref[0]
+
+        def write(val):
+            if paired_t:
+                out_ref[0, sl] = val
+            else:
+                out_ref[0] = val
+
+        res1 = skip_blk.astype(f32) + acc + bproj_ref[:].astype(f32)
         if "mlp" in debug_skip:
-            out_ref[0] = res1[:, : out_ref.shape[-1]].astype(out_ref.dtype)
+            write(res1[:, : out_ref.shape[-1]].astype(out_ref.dtype))
             return
         mean2 = jnp.sum(res1, axis=-1, keepdims=True) / c_real
         var2 = jnp.sum(jnp.square(res1), axis=-1, keepdims=True) / c_real - jnp.square(mean2)
@@ -934,9 +959,19 @@ def _decoder_kernel(
             )
         else:
             base = res1
-        out_ref[0] = (base + mlp).astype(out_ref.dtype)
+        write((base + mlp).astype(out_ref.dtype))
 
-    if fold_heads:
+    if paired_t:
+        # both fine T phases per step; windows shared across phases per head
+        accs = [None, None]
+        for hh in range(heads):
+            wins = {}
+            for r_t in range(2):
+                cb = head_contrib(hh, r_t, wins)
+                accs[r_t] = cb if accs[r_t] is None else accs[r_t] + cb
+        for r_t in range(2):
+            tail(accs[r_t], r_t)
+    elif fold_heads:
         # heads looped in ONE grid step: no revisited accumulator block, one out
         # write, heads× fewer grid steps (the d3/d4 grids were 16-33k steps)
         acc = head_contrib(0)
@@ -961,6 +996,12 @@ def _decoder_kernel(
 # the per-dim heuristic target (1 = shipped). Absolute targets OOM the 16 MB
 # VMEM budget on the dim-768 blocks (measured 20.96M at tile 1024 on d2).
 DEC_TILE_SCALE = 1
+
+# Experiment flag (tools/ab_decoder.py --vol-views): stride-1-T heads-folded
+# decoder blocks keep the whole padded coarse-Q volume resident per batch step
+# (one batch-constant block) instead of nv per-plane views. Numerics identical
+# (parity-tested via the same kernel body); measured on-chip before adoption.
+DEC_VOL_VIEWS = False
 
 # Kernel-internals ablation flags (tools/ab_decoder.py --ablate-kernel): members
 # of {"qbuild", "attn", "mlp"} replace that stage with near-free stand-ins at
@@ -1034,6 +1075,17 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
     # T offsets actually used: stride-1 taps reach planes m−1..m+1; stride-2 phase
     # taps only m and m+1 (k=3, p=1, op=1)
     ets = (-1, 0, 1) if st == 1 else (0, 1)
+    # stride-2-T heads-folded blocks (d4) pair both fine T phases into one grid
+    # step: the phases share their two coarse views, so views traffic and grid
+    # steps halve (the views refetch was d4's largest term — see the docstring)
+    paired = fold and st == 2 and tfd == 2 * t_c
+    # DEC_VOL_VIEWS experiment (dev-tool flag): stride-1-T heads-folded blocks
+    # (d3) keep the WHOLE padded coarse volume resident as one batch-constant
+    # block instead of nv per-plane views, cutting the 3× per-et plane refetch
+    hd_p_est = _round_up(spec.head_dim, 128)
+    vol_bytes = (t_c + 2) * (h_c + 2) * (w_c + 2) * heads * hd_p_est * 2
+    whole_vol = (DEC_VOL_VIEWS and fold and st == 1
+                 and vol_bytes <= 8 * 2 ** 20)
 
     ws, cp, cop, has_res = _prep_tail_weights(p, spec, skip.dtype)
     hd_p = _round_up(hd, 128)
@@ -1071,12 +1123,19 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
         has_res_proj=has_res, has_norm_q=has_norm_q,
         st=st, sh=sh, sw=sw, t_c=t_c, h_c=h_c, w_c=w_c,
         r_fine=r_fine, tiles_per_plane=tiles_per_plane,
-        fold_heads=fold,
+        fold_heads=fold, paired_t=paired, whole_vol=whole_vol,
         debug_skip=frozenset(DEC_DEBUG_SKIP),
     )
 
     def _bspec(shape, fn):
-        """BlockSpec whose index map matches the grid arity for this mode."""
+        """BlockSpec whose index map matches the grid arity for this mode.
+
+        Paired mode's grid is (batch, coarse T plane, row tile); ``fn`` then
+        receives ``(i, (p, r))`` so the skip/out maps can address the 4-D
+        (B, T_f, H·W, C) layout directly."""
+        if paired:
+            return pl.BlockSpec(shape, lambda i, p, r, fn=fn: fn(i, (p, r)),
+                                memory_space=pltpu.VMEM)
         if fold:
             return pl.BlockSpec(shape, lambda i, j, fn=fn: fn(i, j), memory_space=pltpu.VMEM)
         return pl.BlockSpec(shape, lambda i, j, h, fn=fn: fn(i, j), memory_space=pltpu.VMEM)
@@ -1088,6 +1147,16 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
         # clip needed (OOB offsets land on the zero planes). Fold mode carries
         # all heads in the lane dim (5-D, matmul-native); grid mode carries
         # them on a heads axis (6-D).
+        if whole_vol:
+            return _bspec(
+                (1, t_c + 2, h_c + 2, w_c + 2, heads * hd_p),
+                lambda i, j: (i, 0, 0, 0, 0),
+            )
+        if paired:
+            return _bspec(
+                (1, 1, h_c + 2, w_c + 2, heads * hd_p),
+                lambda i, j, e=e: (i, j[0] + e + 1, 0, 0, 0),
+            )
         if fold:
             return _bspec(
                 (1, 1, h_c + 2, w_c + 2, heads * hd_p),
@@ -1098,12 +1167,27 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
             lambda i, j, e=e: (i, j // tiles_per_plane // st + e + 1, 0, 0, 0, 0),
         )
 
-    qviews = [qview(e) for e in ets]
+    qviews = [qview(None)] if whole_vol else [qview(e) for e in ets]
+
+    if paired:
+        io_idx = lambda i, j: (i, j[0], j[1], 0)
+        skip_blk, out_blk = (1, 2, tile, cp), (1, 2, tile, cop)
+        skip_in = skip_p.reshape(b, tfd, hfd * wfd, cp)
+        out_sds = jax.ShapeDtypeStruct((b, tfd, hfd * wfd, cop), dt)
+        grid = (b, t_c, tiles_per_plane)
+        kv_idx = lambda i, j: (i, 0, 0, 0)
+    else:
+        io_idx = lambda i, j: (i, j, 0)
+        skip_blk, out_blk = (1, tile, cp), (1, tile, cop)
+        skip_in = skip_p
+        out_sds = jax.ShapeDtypeStruct((b, l, cop), dt)
+        grid = (b, l // tile) if fold else (b, l // tile, heads)
+        kv_idx = lambda i, j: (i, 0, 0, 0)
 
     in_specs = qviews + [
-        _bspec((1, tile, cp), lambda i, j: (i, j, 0)),
-        _bspec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0)),
-        _bspec((1, heads, lk, hd_p), lambda i, j: (i, 0, 0, 0)),
+        _bspec(skip_blk, io_idx),
+        _bspec((1, heads, lk, hd_p), kv_idx),
+        _bspec((1, heads, lk, hd_p), kv_idx),
         _bspec((3, 3, 3, hd_p), lambda i, j: (0, 0, 0, 0)),
         _bspec((1, 1, hd_p), lambda i, j: (0, 0, 0)),
         _bspec((1, 1, hd_p), lambda i, j: (0, 0, 0)),
@@ -1116,13 +1200,15 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
 
     out = pl.pallas_call(
         kernel,
-        grid=(b, l // tile) if fold else (b, l // tile, heads),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=_bspec((1, tile, cop), lambda i, j: (i, j, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, l, cop), dt),
+        out_specs=_bspec(out_blk, io_idx),
+        out_shape=out_sds,
         scratch_shapes=[] if fold else [pltpu.VMEM((tile, cp), jnp.float32)],
         interpret=interpret,
-    )(*([q6] * len(qviews)), skip_p, kp, vp, wconv, nqs, nqb, wproj, bproj, *ws)
+    )(*([q6] * len(qviews)), skip_in, kp, vp, wconv, nqs, nqb, wproj, bproj, *ws)
+    if paired:
+        out = out.reshape(b, l, cop)
     return out[..., : spec.dim_out]
 
 

@@ -39,6 +39,9 @@ def main():
                     help="composite decoder + fused attention/tail kernels")
     ap.add_argument("--scales", type=int, nargs="+", default=[1, 2, 4],
                     help="DEC_TILE_SCALE values to sweep")
+    ap.add_argument("--vol-views", action="store_true",
+                    help="A/B kb.DEC_VOL_VIEWS (whole-volume coarse-Q block) "
+                         "on the st=1 folded blocks (d3)")
     args = ap.parse_args()
     B, ITERS = args.batch, args.iters
 
@@ -121,6 +124,21 @@ def main():
                 except Exception as e:
                     print(f"blk {i+1} skip={tag}: FAILED {str(e)[:120]}", flush=True)
         kb.DEC_DEBUG_SKIP = set()
+        return
+
+    if args.vol_views:
+        # d3 is the only flagship block on the whole-volume path (fold + st=1
+        # + volume ≤ 8 MB); d2 (unfolded) and d4 (paired st=2) are unaffected
+        for flag in (False, True):
+            kb.DEC_VOL_VIEWS = flag
+            tag = "vol-views" if flag else "per-plane views"
+            try:
+                timed(f"decode blk 3 {tag}", block_fn(2),
+                      params["decode_block3"], inputs[2])
+            except Exception as e:
+                print(f"blk 3 {tag}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+        kb.DEC_VOL_VIEWS = False
         return
 
     ref = {}

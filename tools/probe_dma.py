@@ -1,0 +1,179 @@
+#!/usr/bin/env python3
+"""Honest Mosaic streaming probe: auto-pipeline vs manual DMA (dev tool).
+
+bench_roofline.py's "Pallas streams at ~240 GB/s vs XLA 872" comparison has a
+measurement asymmetry: its harness consumes outputs with ``jnp.sum(fn(x))``,
+which XLA fuses into the producer for the plain-XLA probes (the "copy" never
+materializes — it becomes a read-only reduction) while a pallas_call's output
+always materializes. This tool measures the same byte streams with
+``lax.optimization_barrier`` around every variant so ALL of them pay the
+write + a tiny (128-element) readback, then asks whether Mosaic's AUTO
+pipeline (BlockSpec grid) is the cap or whether manual double-buffered DMA
+(ANY-space refs + make_async_copy) streams faster. Variants:
+
+  xla-copy-honest    x*c with a barrier before the readback (true in+out)
+  xla-read-only      jnp.sum(x*c) fused (what bench_roofline's XLA row was)
+  pallas-auto        BlockSpec-pipelined copy (bench_roofline's pallas row)
+  pallas-dma-NbCr    manual pipeline: N VMEM slots, chunk of C rows
+  dma-hbm2hbm        one whole-array DMA, no VMEM bounce (engine ceiling)
+
+All rates are (in + out) bytes unless marked read-only. Usage:
+  python tools/probe_dma.py [--iters 10] [--mb 256]
+Run on the TPU host to natural exit; never kill (TPU claim wedges).
+"""
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANES = 16384  # row width; 16384 bf16 lanes = 32 KB/row
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--mb", type=int, default=256, help="stream size in MB")
+    args = ap.parse_args()
+
+    rows = args.mb * 1024 * 1024 // (LANES * 2)
+    x = jax.jit(lambda: jax.random.normal(
+        jax.random.PRNGKey(0), (rows, LANES), jnp.bfloat16))()
+    nbytes = x.size * 2
+
+    def bench(name, fn, bytes_):
+        jitted = jax.jit(fn)
+        for _ in range(2):
+            float(jnp.sum(jitted(x)))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = jitted(x)
+        float(jnp.sum(out))
+        dt = (time.perf_counter() - t0) / args.iters
+        print(f"{name:32s} {dt*1000:8.3f} ms  {bytes_ / dt / 1e9:7.1f} GB/s",
+              flush=True)
+
+    # readback is fn's output: keep it tiny (one row) so the harness sum adds
+    # ~nothing; the barrier stops XLA from collapsing the copy into it.
+    def xla_copy_honest(x):
+        y = x * jnp.bfloat16(1.0001)
+        y = lax.optimization_barrier(y)
+        return y[0]
+
+    def xla_read_only(x):
+        return jnp.sum(x * jnp.bfloat16(1.0001), dtype=jnp.float32)[None]
+
+    def copy_kernel(x_ref, o_ref):
+        o_ref[:] = x_ref[:] * jnp.bfloat16(1.0001)
+
+    def pallas_auto(x, tile):
+        y = pl.pallas_call(
+            copy_kernel,
+            grid=(rows // tile,),
+            in_specs=[pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        )(x)
+        return lax.optimization_barrier(y)[0]
+
+    def dma_kernel(x_hbm, o_hbm, in_scratch, out_scratch, in_sem, out_sem,
+                   *, chunk, slots):
+        n = rows // chunk
+
+        def in_dma(slot, i):
+            return pltpu.make_async_copy(
+                x_hbm.at[pl.ds(i * chunk, chunk)], in_scratch.at[slot],
+                in_sem.at[slot])
+
+        def out_dma(slot, i):
+            return pltpu.make_async_copy(
+                out_scratch.at[slot], o_hbm.at[pl.ds(i * chunk, chunk)],
+                out_sem.at[slot])
+
+        for s in range(min(slots, n)):
+            in_dma(s, s).start()
+
+        def body(i, _):
+            slot = lax.rem(i, slots)
+
+            # wait for this slot's previous OUT dma before overwriting
+            @pl.when(i >= slots)
+            def _():
+                out_dma(slot, i - slots).wait()
+
+            in_dma(slot, i).wait()
+            out_scratch[slot] = in_scratch[slot] * jnp.bfloat16(1.0001)
+            out_dma(slot, i).start()
+
+            @pl.when(i + slots < n)
+            def _():
+                in_dma(slot, i + slots).start()
+
+            return 0
+
+        lax.fori_loop(0, n, body, 0)
+        for s in range(min(slots, n)):
+            i = n - min(slots, n) + s
+            out_dma(lax.rem(i, slots), i).wait()
+
+    def pallas_dma(x, chunk, slots):
+        y = pl.pallas_call(
+            functools.partial(dma_kernel, chunk=chunk, slots=slots),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            scratch_shapes=[
+                pltpu.VMEM((slots, chunk, LANES), jnp.bfloat16),
+                pltpu.VMEM((slots, chunk, LANES), jnp.bfloat16),
+                pltpu.SemaphoreType.DMA((slots,)),
+                pltpu.SemaphoreType.DMA((slots,)),
+            ],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(x)
+        return lax.optimization_barrier(y)[0]
+
+    def hbm2hbm_kernel(x_hbm, o_hbm, sem):
+        dma = pltpu.make_async_copy(x_hbm, o_hbm, sem)
+        dma.start()
+        dma.wait()
+
+    def dma_hbm2hbm(x):
+        y = pl.pallas_call(
+            hbm2hbm_kernel,
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            scratch_shapes=[pltpu.SemaphoreType.DMA(())],
+            compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        )(x)
+        return lax.optimization_barrier(y)[0]
+
+    print(f"stream: {x.shape} bf16 = {nbytes/1e6:.0f} MB, "
+          f"iters={args.iters}", flush=True)
+    bench("xla-read-only (fused sum)", xla_read_only, nbytes)
+    bench("xla-copy-honest", xla_copy_honest, 2 * nbytes)
+    for tile in (64, 256, 1024):
+        bench(f"pallas-auto tile={tile}", lambda x, t=tile: pallas_auto(x, t),
+              2 * nbytes)
+    for chunk, slots in ((64, 2), (64, 4), (128, 2), (256, 2), (32, 8)):
+        vmem_mb = 2 * slots * chunk * LANES * 2 / 1e6
+        if vmem_mb > 14:
+            continue
+        bench(f"pallas-dma c={chunk} s={slots} ({vmem_mb:.0f}MB)",
+              lambda x, c=chunk, s=slots: pallas_dma(x, c, s), 2 * nbytes)
+    bench("dma-hbm2hbm (engine ceiling)", dma_hbm2hbm, 2 * nbytes)
+
+
+if __name__ == "__main__":
+    main()
