@@ -997,6 +997,12 @@ def _decoder_kernel(
 # VMEM budget on the dim-768 blocks (measured 20.96M at tile 1024 on d2).
 DEC_TILE_SCALE = 1
 
+# A/B flag (tools/ab_decoder.py --paired-ab): pair both fine T phases of the
+# st=2 folded decoder blocks (d4) into one grid step. Default ON (parity-tested);
+# the flag exists so the on-chip A/B runs in ONE process (tunnel variance is
+# ±5% across processes).
+DEC_PAIRED_T = True
+
 # Experiment flag (tools/ab_decoder.py --vol-views): stride-1-T heads-folded
 # decoder blocks keep the whole padded coarse-Q volume resident per batch step
 # (one batch-constant block) instead of nv per-plane views. Numerics identical
@@ -1078,7 +1084,7 @@ def _fused_decoder_impl(q6, skip, k, v, p, spec, thw_f, interpret: bool):
     # stride-2-T heads-folded blocks (d4) pair both fine T phases into one grid
     # step: the phases share their two coarse views, so views traffic and grid
     # steps halve (the views refetch was d4's largest term — see the docstring)
-    paired = fold and st == 2 and tfd == 2 * t_c
+    paired = DEC_PAIRED_T and fold and st == 2 and tfd == 2 * t_c
     # DEC_VOL_VIEWS experiment (dev-tool flag): stride-1-T heads-folded blocks
     # (d3) keep the WHOLE padded coarse volume resident as one batch-constant
     # block instead of nv per-plane views, cutting the 3× per-et plane refetch

@@ -42,6 +42,9 @@ def main():
     ap.add_argument("--vol-views", action="store_true",
                     help="A/B kb.DEC_VOL_VIEWS (whole-volume coarse-Q block) "
                          "on the st=1 folded blocks (d3)")
+    ap.add_argument("--paired-ab", action="store_true",
+                    help="A/B kb.DEC_PAIRED_T (paired fine-T-phase grid) "
+                         "on the st=2 folded blocks (d4)")
     args = ap.parse_args()
     B, ITERS = args.batch, args.iters
 
@@ -124,6 +127,19 @@ def main():
                 except Exception as e:
                     print(f"blk {i+1} skip={tag}: FAILED {str(e)[:120]}", flush=True)
         kb.DEC_DEBUG_SKIP = set()
+        return
+
+    if args.paired_ab:
+        for flag in (False, True):
+            kb.DEC_PAIRED_T = flag
+            tag = "paired-T" if flag else "per-fine-plane"
+            try:
+                timed(f"decode blk 4 {tag}", block_fn(3),
+                      params["decode_block4"], inputs[3])
+            except Exception as e:
+                print(f"blk 4 {tag}: FAILED {type(e).__name__}: {str(e)[:200]}",
+                      flush=True)
+        kb.DEC_PAIRED_T = True
         return
 
     if args.vol_views:
