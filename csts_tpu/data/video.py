@@ -8,6 +8,10 @@ the input bottleneck (SURVEY §7 hard-part 5):
 * ``pyav``  — PTS-seek selective decode, frame-index parity with the reference
               (available only when the ``av`` package is installed);
 * ``ffmpeg`` — subprocess rawvideo pipe (available when an ffmpeg binary exists);
+* ``opencv`` — cv2.VideoCapture frame-position seek (available when OpenCV was
+              built with video IO) — the fallback container path on hosts
+              without PyAV/ffmpeg, and the one real-container backend this
+              harness image can actually exercise;
 * ``npy``   — preprocessed clips stored as ``<clip>.frames.npy`` uint8 (T, H, W, 3)
               arrays, produced by the offline preprocessing CLI. This is the
               production TPU path: zero-codec reads that memory-map straight into the
@@ -40,6 +44,14 @@ except ImportError:
 _FFMPEG = shutil.which("ffmpeg")
 _FFPROBE = shutil.which("ffprobe")
 
+try:
+    import cv2  # type: ignore
+
+    _HAS_CV2 = callable(getattr(cv2, "VideoCapture", None))
+except ImportError:
+    cv2 = None
+    _HAS_CV2 = False
+
 
 def available_backends():
     out = ["npy"]
@@ -47,6 +59,8 @@ def available_backends():
         out.append("pyav")
     if _FFMPEG and _FFPROBE:
         out.append("ffmpeg")
+    if _HAS_CV2:
+        out.append("opencv")
     return out
 
 
@@ -193,9 +207,48 @@ class FFmpegReader(VideoReader):
         return frames.copy(), idx
 
 
+class OpenCVReader(VideoReader):
+    """cv2.VideoCapture reader with CAP_PROP_POS_FRAMES seeking.
+
+    OpenCV decodes sequentially after a frame-position seek, matching the
+    reference's "decode the whole window, keep the requested indices" semantics
+    (decoder.py:226-310) without PTS math: VideoCapture's frame counter IS the
+    frame index for constant-rate streams (the only kind the datasets emit)."""
+
+    def __init__(self, path: str):
+        assert _HAS_CV2, "OpenCV video IO is not available"
+        self._cap = cv2.VideoCapture(path)
+        if not self._cap.isOpened():
+            raise FileNotFoundError(f"OpenCV could not open {path}")
+        self._meta = ClipMeta(
+            num_frames=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            fps=float(self._cap.get(cv2.CAP_PROP_FPS)),
+        )
+
+    def meta(self) -> ClipMeta:
+        return self._meta
+
+    def read_window(self, start_frame: int, end_frame: int) -> Tuple[np.ndarray, np.ndarray]:
+        start = max(int(start_frame), 0)
+        end = min(int(end_frame), self._meta.num_frames - 1)
+        self._cap.set(cv2.CAP_PROP_POS_FRAMES, start)
+        frames = []
+        for _ in range(end - start + 1):
+            ok, bgr = self._cap.read()
+            if not ok:
+                break
+            frames.append(bgr[..., ::-1])  # BGR → RGB
+        arr = np.stack(frames) if frames else np.zeros((0, 0, 0, 3), np.uint8)
+        idx = np.arange(start, start + arr.shape[0])
+        return arr, idx
+
+    def close(self):
+        self._cap.release()
+
+
 def open_clip(path: str, backend: str = "auto", target_fps: float = 30.0) -> VideoReader:
     """Backend selection with graceful fallback: npy sidecar if present, else pyav,
-    else ffmpeg."""
+    else ffmpeg, else opencv."""
     if backend == "auto":
         if path.endswith(".npy") or os.path.exists(path + ".frames.npy"):
             backend = "npy"
@@ -203,6 +256,8 @@ def open_clip(path: str, backend: str = "auto", target_fps: float = 30.0) -> Vid
             backend = "pyav"
         elif _FFMPEG:
             backend = "ffmpeg"
+        elif _HAS_CV2:
+            backend = "opencv"
         else:
             backend = "npy"  # will raise FileNotFoundError with a clear path
     if backend == "npy":
@@ -211,4 +266,6 @@ def open_clip(path: str, backend: str = "auto", target_fps: float = 30.0) -> Vid
         return PyAVReader(path)
     if backend == "ffmpeg":
         return FFmpegReader(path)
+    if backend == "opencv":
+        return OpenCVReader(path)
     raise NotImplementedError(f"Unknown decoding backend {backend}")

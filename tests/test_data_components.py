@@ -205,6 +205,20 @@ def _encode_test_mp4(path, frames, fps):
             input=frames.tobytes(), capture_output=True,
         )
         return proc.returncode == 0
+    if video_lib._HAS_CV2:
+        # MJPG AVI via OpenCV — intra-only (every frame a keyframe), still a
+        # real container+codec round trip; cv2 writers can't take .mp4 here so
+        # the caller must pass an .avi-compatible path
+        import cv2
+
+        wr = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"MJPG"), fps,
+                             (frames.shape[2], frames.shape[1]))
+        if not wr.isOpened():
+            return False
+        for f in frames:
+            wr.write(f[..., ::-1])  # RGB → BGR
+        wr.release()
+        return True
     return False
 
 
@@ -224,7 +238,10 @@ def test_container_decode_backends_match_npy(tmp_path):
     frames = np.broadcast_to(levels[:, None, None, None], (n, h, w, 3)).copy()
     mp4 = str(tmp_path / "clip.mp4")
     if not _encode_test_mp4(mp4, frames, fps):
-        pytest.skip("no usable encoder in this image")
+        # cv2-only images can't mux MJPG into .mp4 — retry as .avi
+        mp4 = str(tmp_path / "clip.avi")
+        if not _encode_test_mp4(mp4, frames, fps):
+            pytest.skip("no usable encoder in this image")
     np.save(mp4 + ".frames.npy", frames)
     import json
 
