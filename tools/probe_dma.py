@@ -43,14 +43,24 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--mb", type=int, default=256, help="stream size in MB")
+    ap.add_argument("--interpret", action="store_true",
+                    help="CPU interpret-mode smoke test (tiny stream, checks "
+                         "every variant returns the right bytes; rates are "
+                         "meaningless)")
     args = ap.parse_args()
 
-    rows = args.mb * 1024 * 1024 // (LANES * 2)
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+
+    rows = (1 if args.interpret else args.mb) * 1024 * 1024 // (LANES * 2)
+    INTERP = args.interpret
     x = jax.jit(lambda: jax.random.normal(
         jax.random.PRNGKey(0), (rows, LANES), jnp.bfloat16))()
     nbytes = x.size * 2
+    # interpret mode: the scaled first row every copy variant must return
+    want_row0 = (x[0] * jnp.bfloat16(1.0001)) if INTERP else None
 
-    def bench(name, fn, bytes_):
+    def bench(name, fn, bytes_, check=True):
         jitted = jax.jit(fn)
         for _ in range(2):
             float(jnp.sum(jitted(x)))
@@ -59,6 +69,12 @@ def main():
             out = jitted(x)
         float(jnp.sum(out))
         dt = (time.perf_counter() - t0) / args.iters
+        if INTERP and check is not False:
+            want = want_row0 if check is True else check
+            ok = bool(jnp.array_equal(out, want))
+            print(f"{name:32s} {'OK' if ok else 'WRONG BYTES'}", flush=True)
+            assert ok, name
+            return
         print(f"{name:32s} {dt*1000:8.3f} ms  {bytes_ / dt / 1e9:7.1f} GB/s",
               flush=True)
 
@@ -84,6 +100,7 @@ def main():
             out_specs=pl.BlockSpec((tile, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=INTERP,
         )(x)
         return lax.optimization_barrier(y)[0]
 
@@ -140,6 +157,7 @@ def main():
                 pltpu.SemaphoreType.DMA((slots,)),
             ],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=INTERP,
         )(x)
         return lax.optimization_barrier(y)[0]
 
@@ -156,23 +174,28 @@ def main():
             out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
             scratch_shapes=[pltpu.SemaphoreType.DMA(())],
             compiler_params=pltpu.CompilerParams(has_side_effects=True),
+            interpret=INTERP,
         )(x)
         return lax.optimization_barrier(y)[0]
 
     print(f"stream: {x.shape} bf16 = {nbytes/1e6:.0f} MB, "
           f"iters={args.iters}", flush=True)
-    bench("xla-read-only (fused sum)", xla_read_only, nbytes)
+    bench("xla-read-only (fused sum)", xla_read_only, nbytes, check=False)
     bench("xla-copy-honest", xla_copy_honest, 2 * nbytes)
-    for tile in (64, 256, 1024):
+    tiles = (8, 16) if INTERP else (64, 256, 1024)
+    for tile in tiles:
         bench(f"pallas-auto tile={tile}", lambda x, t=tile: pallas_auto(x, t),
               2 * nbytes)
-    for chunk, slots in ((64, 2), (64, 4), (128, 2), (256, 2), (32, 8)):
+    sweeps = ((8, 2), (4, 4)) if INTERP else \
+        ((64, 2), (64, 4), (128, 2), (256, 2), (32, 8))
+    for chunk, slots in sweeps:
         vmem_mb = 2 * slots * chunk * LANES * 2 / 1e6
         if vmem_mb > 14:
             continue
         bench(f"pallas-dma c={chunk} s={slots} ({vmem_mb:.0f}MB)",
               lambda x, c=chunk, s=slots: pallas_dma(x, c, s), 2 * nbytes)
-    bench("dma-hbm2hbm (engine ceiling)", dma_hbm2hbm, 2 * nbytes)
+    bench("dma-hbm2hbm (engine ceiling)", dma_hbm2hbm, 2 * nbytes,
+          check=(x[0] if INTERP else False))
 
 
 if __name__ == "__main__":
