@@ -177,6 +177,10 @@ class SolverConfig:
     ZERO_WD_1D_PARAM: bool = False
     CLIP_GRAD_VAL: Optional[float] = None
     CLIP_GRAD_L2NORM: Optional[float] = None
+    # ZeRO-1: shard Adam moments over the data axis (params stay replicated;
+    # XLA turns the optimizer update into compute-on-shard + all-gather of the
+    # updates). Beyond the reference, which is plain DDP (SURVEY §2.2).
+    ZERO1: bool = False
 
 
 @dataclass

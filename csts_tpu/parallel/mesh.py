@@ -64,6 +64,28 @@ def replicate_params(mesh: Mesh, params):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)
 
 
+def opt_state_sharding(mesh: Mesh, opt_state):
+    """ZeRO-1 sharding pytree for an optax state: every array leaf is sharded over
+    the data axis along its first dp-divisible dimension (Adam's update is
+    elementwise, so the split axis is free to choose); scalars and indivisible
+    leaves stay replicated. Params remain replicated — XLA computes the update on
+    the local moment shard and all-gathers the applied updates, which is exactly
+    the ZeRO-1 dataflow (a capability beyond the reference's DDP, SURVEY §2.2)."""
+    dp = mesh.shape[DATA_AXIS]
+    rep = replicated(mesh)
+
+    def rule(leaf):
+        shape = getattr(leaf, "shape", ())
+        for ax, d in enumerate(shape):
+            if d >= dp and d % dp == 0:
+                spec = [None] * len(shape)
+                spec[ax] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return rep
+
+    return jax.tree_util.tree_map(rule, opt_state)
+
+
 def param_sharding_rules(mesh: Mesh, params, model_parallel: bool = False):
     """Sharding pytree for params. Replicated for DP; with ``model_parallel``, the
     qkv/mlp projection matrices of 768-wide blocks shard their output dim over the

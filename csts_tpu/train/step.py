@@ -51,10 +51,16 @@ def create_train_state(cfg: Config, spec, key: jax.Array) -> Tuple[TrainState, o
     return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
 
 
-def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: int = 1):
+def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: int = 1,
+                    state_shardings: Any = None):
     """Returns ``train_step(state, batch, rng) -> (state, stats)``, jitted with
     donated state. ``batch``: dict with video (B,T,H,W,3), audio (B,T,F,S,1),
     labels (B,T,3), labels_hm (B,T,h,w).
+
+    ``state_shardings`` (a TrainState-shaped pytree of NamedShardings) pins the
+    OUTPUT state's placement — used by ZeRO-1 (``SOLVER.ZERO1``) to keep the
+    sharded Adam moments sharded across steps so the donated buffers round-trip
+    without a gather.
 
     ``accum_steps > 1`` splits the batch into micro-batches and scan-accumulates
     gradients before the single optimizer update — large effective batches within
@@ -207,6 +213,8 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: in
         stats["lr"] = lr
         stats["grad_norm"] = optax.global_norm(grads)
         new_state = TrainState(params, opt_state, state.step + 1)
+        if state_shardings is not None:
+            new_state = jax.lax.with_sharding_constraint(new_state, state_shardings)
         return new_state, stats, preds
 
     return train_step

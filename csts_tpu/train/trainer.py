@@ -63,8 +63,16 @@ def train(cfg: Config) -> None:
     steps_per_epoch = max(len(train_loader), 1)
 
     state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    state_shardings = None
+    if cfg.SOLVER.ZERO1:
+        state_shardings = step_lib.TrainState(
+            mesh_lib.param_sharding_rules(mesh, state.params),
+            mesh_lib.opt_state_sharding(mesh, state.opt_state),
+            mesh_lib.replicated(mesh),
+        )
     train_step = step_lib.make_train_step(
-        cfg, spec, tx, steps_per_epoch, accum_steps=cfg.TRAIN.GRAD_ACCUM_STEPS
+        cfg, spec, tx, steps_per_epoch, accum_steps=cfg.TRAIN.GRAD_ACCUM_STEPS,
+        state_shardings=state_shardings,
     )
     eval_step = step_lib.make_eval_step(cfg, spec)
 
@@ -80,7 +88,9 @@ def train(cfg: Config) -> None:
 
     _install_preemption_handler()
     with jax.sharding.set_mesh(mesh):
-        state = jax.device_put(state, mesh_lib.replicated(mesh))
+        state = jax.device_put(
+            state, state_shardings if state_shardings is not None
+            else mesh_lib.replicated(mesh))
         logger.info("Start epoch: %d", start_epoch + 1)
 
         for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):

@@ -132,6 +132,52 @@ def test_sharded_matches_single_device(setup):
     np.testing.assert_allclose(leaf8, leaf1, atol=1e-6)
 
 
+def test_zero1_matches_replicated(setup):
+    """SOLVER.ZERO1 (data-axis-sharded Adam moments) must produce the same params
+    as the replicated-state program, while actually sharding the moment buffers."""
+    cfg, spec, fresh_state, tx, train_step = setup
+    rng = np.random.default_rng(7)
+    batch_np = make_batch(rng, 8)
+    mesh = mesh_lib.make_mesh()
+
+    ref = fresh_state()
+    state_shardings = step_lib.TrainState(
+        mesh_lib.param_sharding_rules(mesh, ref.params),
+        mesh_lib.opt_state_sharding(mesh, ref.opt_state),
+        mesh_lib.replicated(mesh),
+    )
+    z1_step = step_lib.make_train_step(
+        cfg, spec, tx, steps_per_epoch=10, state_shardings=state_shardings
+    )
+
+    with jax.sharding.set_mesh(mesh):
+        st_rep = jax.device_put(fresh_state(), mesh_lib.replicated(mesh))
+        st_z1 = jax.device_put(fresh_state(), state_shardings)
+        b = mesh_lib.shard_batch(mesh, batch_np)
+        for i in range(2):
+            st_rep, stats_rep, _ = train_step(st_rep, b, jax.random.PRNGKey(i))
+            st_z1, stats_z1, _ = z1_step(st_z1, b, jax.random.PRNGKey(i))
+
+    assert abs(float(stats_rep["loss"]) - float(stats_z1["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(st_z1.params["classifier"]["w"]),
+        np.asarray(st_rep.params["classifier"]["w"]), atol=1e-6,
+    )
+    # the moments must be genuinely sharded: a dp-divisible leaf's per-device
+    # shard holds 1/8 of the rows
+    leaves = jax.tree_util.tree_leaves(st_z1.opt_state)
+    sharded = [
+        l for l in leaves
+        if hasattr(l, "sharding") and l.ndim >= 1
+        and l.sharding.shard_shape(l.shape) != l.shape
+    ]
+    assert sharded, "no opt-state leaf is sharded under ZERO1"
+    frac = sum(np.prod(l.sharding.shard_shape(l.shape)) for l in sharded) / sum(
+        np.prod(l.shape) for l in sharded
+    )
+    assert frac <= 1 / 8 + 1e-6
+
+
 def test_lr_follows_cosine_schedule(setup):
     cfg, spec, fresh_state, tx, train_step = setup
     state = fresh_state()
