@@ -46,6 +46,22 @@ def main():
     from csts_tpu.models import csts as csts_lib
     from csts_tpu.train import losses
 
+    # The relay backend occasionally reports UNAVAILABLE during outages (seen
+    # round 3: init hangs ~25 min then errors). jax caches a failed backend
+    # init for the process lifetime, so retry by re-exec'ing this script (fresh
+    # process) a bounded number of times; a hard outage still fails after them.
+    try:
+        jax.devices()
+    except RuntimeError as e:
+        tries = int(os.environ.get("BENCH_INIT_RETRIES", "0"))
+        if tries >= 2:
+            raise
+        print(f"# backend init failed ({e}); re-exec retry {tries + 1}/2",
+              flush=True)
+        time.sleep(60)
+        os.environ["BENCH_INIT_RETRIES"] = str(tries + 1)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+
     cfg = _flagship_cfg()
     cfg.TRAIN.MIXED_PRECISION = True  # bf16 activations
     spec = csts_lib.build_spec(cfg)
