@@ -78,6 +78,43 @@ def aggregate(events, iters: int):
     return rows, dict(sorted(cats.items(), key=lambda kv: -kv[1]))
 
 
+def diff_profiles(old_path: str, new_path: str, top: int = 40) -> None:
+    """Per-category and per-op deltas between two --out dumps. Ops are matched
+    by HLO op name; renamed/refused ops show as a drop plus an add, so read the
+    category block first (it's rename-proof)."""
+    with open(old_path) as f:
+        old = json.load(f)
+    with open(new_path) as f:
+        new = json.load(f)
+    if old.get("batch") != new.get("batch"):
+        print(f"WARNING: batch differs ({old.get('batch')} vs {new.get('batch')})")
+    to = old["total_us_per_iter"] / 1000
+    tn = new["total_us_per_iter"] / 1000
+    print(f"total: {to:.1f} -> {tn:.1f} ms/iter ({tn - to:+.1f})")
+    print("-- by category (ms/iter) --")
+    cats = sorted(set(old["categories"]) | set(new["categories"]),
+                  key=lambda c: -abs(new["categories"].get(c, 0) - old["categories"].get(c, 0)))
+    for c in cats:
+        o = old["categories"].get(c, 0) / 1000
+        n = new["categories"].get(c, 0) / 1000
+        print(f"  {c:32s} {o:8.2f} -> {n:8.2f}  ({n - o:+7.2f})")
+    o_ops = {r["op"]: r for r in old["ops"]}
+    n_ops = {r["op"]: r for r in new["ops"]}
+    movers = []
+    for name in set(o_ops) | set(n_ops):
+        o = o_ops.get(name, {}).get("us_per_iter", 0) / 1000
+        n = n_ops.get(name, {}).get("us_per_iter", 0) / 1000
+        movers.append((abs(n - o), name, o, n))
+    movers.sort(reverse=True)
+    print(f"-- top {top} op movers (ms/iter) --")
+    for d, name, o, n in movers[:top]:
+        if d < 0.005:
+            break
+        tag = "" if name in o_ops and name in n_ops else (
+            " [gone]" if name in o_ops else " [new]")
+        print(f"  {name[:52]:52s} {o:8.2f} -> {n:8.2f}  ({n - o:+7.2f}){tag}")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=128)
@@ -90,7 +127,14 @@ def main():
                          "with their HLO output shapes — the section-attribution "
                          "view (program order follows model order, modulo XLA's "
                          "latency-hiding interleave of the video/audio branches)")
+    ap.add_argument("--diff", nargs=2, default=None, metavar=("OLD.json", "NEW.json"),
+                    help="offline: compare two --out dumps (no TPU run) — "
+                         "category deltas + top per-op movers")
     args = ap.parse_args()
+
+    if args.diff:
+        diff_profiles(*args.diff, top=args.top)
+        return
 
     from __graft_entry__ import _flagship_cfg
     from csts_tpu.models import csts as csts_lib
