@@ -24,6 +24,7 @@ import numpy as np
 from csts_tpu import ops
 from csts_tpu.config import Config
 from csts_tpu.models import mvit
+from csts_tpu.parallel.mesh import seq_constraint
 from csts_tpu.models.mvit import AttentionSpec, THW, round_width
 
 
@@ -436,8 +437,8 @@ def csts_apply(
     y = _patch_embed(params["patch_embed_audio"], spec, audio)
     _cap("patch_embed", x)
     _cap("patch_embed_audio", y)
-    x = x + _pos_embed(params, spec, audio=False).astype(cdt)
-    y = y + _pos_embed(params, spec, audio=True).astype(cdt)
+    x = seq_constraint(x + _pos_embed(params, spec, audio=False).astype(cdt))
+    y = seq_constraint(y + _pos_embed(params, spec, audio=True).astype(cdt))
 
     thw: THW = spec.patch_dims
     thw_audio: THW = spec.audio_patch_dims
@@ -469,6 +470,7 @@ def csts_apply(
             x, thw = _encoder_block(
                 params["blocks"][i], spec.video_blocks[i], x, thw, dp_keys[i]
             )
+            x = seq_constraint(x)
             _cap(f"blocks/{i}", x)
         if gi < len(spec.video_groups) - 1:
             inter_feat.append((x, thw))
@@ -476,6 +478,7 @@ def csts_apply(
             y, thw_audio = _encoder_block(
                 params["blocks_audio"][i], spec.audio_blocks[i], y, thw_audio, None
             )
+            y = seq_constraint(y)
             _cap(f"blocks_audio/{i}", y)
 
     # ---------------- Spatial-temporal fusion (:413-462) ----------------

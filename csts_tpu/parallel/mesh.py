@@ -28,18 +28,55 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+SEQ_AXIS = "seq"
 
 
-def make_mesh(num_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
-    """1-D data mesh by default; 2-D (data, model) when model_parallel > 1."""
+def make_mesh(
+    num_devices: Optional[int] = None,
+    model_parallel: int = 1,
+    seq_parallel: int = 1,
+) -> Mesh:
+    """1-D data mesh by default; adds a ``model`` axis (tensor parallelism) when
+    ``model_parallel`` > 1 and a ``seq`` axis (context/sequence parallelism over
+    the token dimension — see ``seq_constraint``) when ``seq_parallel`` > 1."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % model_parallel == 0, (n, model_parallel)
-    dp = n // model_parallel
-    dev_array = np.asarray(devices).reshape(dp, model_parallel)
-    return Mesh(dev_array, (DATA_AXIS, MODEL_AXIS))
+    assert n % (model_parallel * seq_parallel) == 0, (n, model_parallel, seq_parallel)
+    dp = n // (model_parallel * seq_parallel)
+    shape, axes = [dp], [DATA_AXIS]
+    if seq_parallel > 1:
+        shape.append(seq_parallel)
+        axes.append(SEQ_AXIS)
+    if model_parallel > 1:
+        shape.append(model_parallel)
+        axes.append(MODEL_AXIS)
+    return Mesh(np.asarray(devices).reshape(shape), tuple(axes))
+
+
+def seq_constraint(tokens):
+    """Context-parallel annotation for (B, L, C) token activations.
+
+    When the ambient mesh carries a ``seq`` axis, constrain the token axis to it
+    and let GSPMD propagate the sharding — XLA inserts the halo exchanges for
+    the pool convs and the (all-)gathers feeding the pooled-KV attention, the
+    TPU-native counterpart of hand-written ring/Ulysses context parallelism.
+    The reference never shards the sequence (SURVEY §2.2 — max 16 384 stem
+    tokens); this is a capability beyond it, exercised by
+    ``__graft_entry__.dryrun_multichip`` phase 4 and the sp-parity test.
+    No-op (returns ``tokens`` unchanged) without an ambient ``seq`` axis or
+    when the token count does not divide it.
+    """
+    mesh = jax.sharding.get_abstract_mesh()
+    if mesh is None or SEQ_AXIS not in mesh.axis_names:
+        return tokens
+    n = mesh.shape[SEQ_AXIS]
+    if tokens.ndim != 3 or tokens.shape[1] % n:
+        return tokens
+    return jax.lax.with_sharding_constraint(
+        tokens, P(DATA_AXIS if DATA_AXIS in mesh.axis_names else None, SEQ_AXIS)
+    )
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:

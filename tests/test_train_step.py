@@ -132,6 +132,45 @@ def test_sharded_matches_single_device(setup):
     np.testing.assert_allclose(leaf8, leaf1, atol=1e-6)
 
 
+def test_seq_parallel_matches_single_device(setup):
+    """dp4×sp2 (context parallelism): the model's ``seq_constraint`` annotations
+    shard the encoder token axis over the ``seq`` mesh axis (GSPMD inserts the
+    halo/gather collectives — parallel/mesh.py). The step must agree with the
+    single-device program, and the bare forward's compiled HLO must actually
+    contain cross-device collectives: with the batch sharded over ``data`` only
+    and no gradient psum in a forward, any collective present is seq-sharding
+    traffic (proof the token axis is sharded, not silently replicated)."""
+    cfg, spec, fresh_state, tx, train_step = setup
+    rng = np.random.default_rng(3)
+    batch_np = make_batch(rng, 8)
+
+    mesh_sp = mesh_lib.make_mesh(seq_parallel=2)
+    with jax.sharding.set_mesh(mesh_sp):
+        st, stats_sp, _ = train_step(
+            jax.device_put(fresh_state(), mesh_lib.replicated(mesh_sp)),
+            mesh_lib.shard_batch(mesh_sp, batch_np),
+            jax.random.PRNGKey(9),
+        )
+
+        def fwd(p, v, a):
+            return csts_lib.csts_apply(p, spec, v, a, deterministic=True)
+
+        db = mesh_lib.shard_batch(mesh_sp, batch_np)
+        params = jax.device_put(fresh_state().params, mesh_lib.replicated(mesh_sp))
+        hlo = jax.jit(fwd).lower(params, db["video"], db["audio"]).compile().as_text()
+    assert any(k in hlo for k in ("all-gather", "all-reduce", "collective-permute",
+                                  "all-to-all")), "no collectives in sp forward"
+
+    mesh1 = mesh_lib.make_mesh(num_devices=1)
+    with jax.sharding.set_mesh(mesh1):
+        st1, stats1, _ = train_step(
+            jax.device_put(fresh_state(), mesh_lib.replicated(mesh1)),
+            mesh_lib.shard_batch(mesh1, batch_np),
+            jax.random.PRNGKey(9),
+        )
+    assert abs(float(stats_sp["loss"]) - float(stats1["loss"])) < 1e-4
+
+
 def test_zero1_matches_replicated(setup):
     """SOLVER.ZERO1 (data-axis-sharded Adam moments) must produce the same params
     as the replicated-state program, while actually sharding the moment buffers."""
