@@ -132,6 +132,7 @@ def test_sharded_matches_single_device(setup):
     np.testing.assert_allclose(leaf8, leaf1, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_seq_parallel_matches_single_device(setup):
     """dp4×sp2 (context parallelism): the model's ``seq_constraint`` annotations
     shard the encoder token axis over the ``seq`` mesh axis (GSPMD inserts the
@@ -247,6 +248,7 @@ def test_eval_step_probabilities(setup):
     np.testing.assert_allclose(sums, 1.0, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_gradient_accumulation_matches_full_batch(setup):
     """accum_steps=2 over a batch == kldiv-only full-batch step (same grads up to
     fp32 summation order) when the loss decomposes per-sample."""
@@ -283,6 +285,7 @@ def test_gradient_accumulation_matches_full_batch(setup):
     assert np.abs(leaf1 - leaf2).max() < 1e-2
 
 
+@pytest.mark.slow
 def test_grad_accum_keeps_nce_negatives_global(setup):
     """accum_steps=2 with kldiv+egonce == the single big-batch step: the two-pass
     (GradCache) accumulation computes EgoNCE once over ALL micro-batch embeddings,
@@ -349,6 +352,7 @@ def test_model_parallel_forward_matches_replicated(setup):
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
 
 
+@pytest.mark.slow
 def test_model_parallel_sharding_propagates_through_train_step(setup):
     """dp4×tp2 is more than compile-and-agree (VERDICT r2 weak #6): after one
     real train step, (a) the Megatron-split qkv/fc leaves come back STILL
