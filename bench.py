@@ -38,8 +38,12 @@ def main():
     import sys
 
     global BATCH
-    if len(sys.argv) > 2 and sys.argv[1] == "--batch":
-        BATCH = int(sys.argv[2])  # sweep probe; the driver runs bare (=128)
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=BATCH,
+                    help="sweep probe; the driver runs bare (=128)")
+    BATCH = ap.parse_args().batch
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from __graft_entry__ import _flagship_cfg

@@ -166,16 +166,7 @@ class AVGazeDataset:
         cached = self._num_frames_cache.get(path)
         if cached is not None:
             return cached
-        n = 0
-        npy_path = path if path.endswith(".npy") else path + ".frames.npy"
-        for mp in (path + ".meta.json", os.path.splitext(npy_path)[0] + ".meta.json"):
-            if os.path.exists(mp):
-                with open(mp) as f:
-                    n = int(json.load(f).get("num_frames", 0))
-                if n:
-                    break
-        if not n and os.path.exists(npy_path):
-            n = int(np.load(npy_path, mmap_mode="r").shape[0])  # header-only read
+        n = video.sidecar_num_frames(path)
         if not n:
             reader = video.open_clip(path, self.cfg.DATA.DECODING_BACKEND
                                      if self.cfg.DATA.DECODING_BACKEND != "pyav"

@@ -188,12 +188,15 @@ def spatial_sampling_fused(
             x0 = 0 if spatial_idx == 0 else (w - crop_size if spatial_idx == 2 else x0)
         flip = False
 
-    if keep_uint8:
+    if not normalize:
+        # uint8 stays uint8 (UINT8_TRANSFER); float inputs pass through un-scaled
+        # too — csts_apply only normalizes INTEGER dtypes on-device, so callers
+        # must not hand float frames here expecting mean/std to happen later.
+        assert keep_uint8 or not np.issubdtype(frames.dtype, np.floating), (
+            "normalize=False with float frames would skip mean/std entirely"
+        )
         out = frames[:, y0 : y0 + crop_size, x0 : x0 + crop_size, :]
         out = np.ascontiguousarray(out[:, :, ::-1, :] if flip else out)
-    elif not normalize:
-        crop = frames[:, y0 : y0 + crop_size, x0 : x0 + crop_size, :]
-        out = np.ascontiguousarray(crop[:, :, ::-1, :] if flip else crop)
     else:
         out = native.fused_crop_flip_normalize(frames, y0, x0, crop_size, flip, mean, std)
     out_gaze = gaze_loc.copy()

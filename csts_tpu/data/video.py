@@ -85,6 +85,23 @@ class VideoReader:
         pass
 
 
+def sidecar_num_frames(path: str) -> int:
+    """Zero-decode frame count from the ``pack`` sidecars: meta.json first, then
+    the npy header (mmap read, no data touched). Returns 0 when no sidecar
+    exists. Owns the same naming rules as :class:`NpyClipReader` so the pack
+    format's layout lives in one module."""
+    npy_path = path if path.endswith(".npy") else path + ".frames.npy"
+    for mp in (path + ".meta.json", os.path.splitext(npy_path)[0] + ".meta.json"):
+        if os.path.exists(mp):
+            with open(mp) as f:
+                n = int(json.load(f).get("num_frames", 0))
+            if n:
+                return n
+    if os.path.exists(npy_path):
+        return int(np.load(npy_path, mmap_mode="r").shape[0])
+    return 0
+
+
 class NpyClipReader(VideoReader):
     """Preprocessed-clip reader: ``<path>.frames.npy`` + optional ``<path>.meta.json``.
 
@@ -220,8 +237,18 @@ class OpenCVReader(VideoReader):
         self._cap = cv2.VideoCapture(path)
         if not self._cap.isOpened():
             raise FileNotFoundError(f"OpenCV could not open {path}")
+        num_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        if num_frames <= 0:
+            # Headers without nb_frames (fragmented mp4, some MKV) make cv2
+            # report 0/garbage; count by grabbing (no decode) rather than
+            # silently emitting an empty clip downstream.
+            while self._cap.grab():
+                num_frames += 1
+            self._cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
+            if num_frames <= 0:
+                raise RuntimeError(f"OpenCV found no decodable frames in {path}")
         self._meta = ClipMeta(
-            num_frames=int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT)),
+            num_frames=num_frames,
             fps=float(self._cap.get(cv2.CAP_PROP_FPS)),
         )
 

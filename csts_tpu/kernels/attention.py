@@ -346,7 +346,11 @@ def _fused_attention(q, k, v, scale, has_mask, interpret, mask):
 
 def _fwd(q, k, v, scale, has_mask, interpret, mask):
     out = _fused_attention_fwd_impl(q, k, v, mask, scale, interpret)
-    return out, (q, k, v, mask, out)
+    # ``out`` is a residual only for the flash backward; the masked/composite
+    # path recomputes probabilities from q/k and must not keep the extra
+    # (B, N, Lq, hd) tensor alive across the forward→backward gap.
+    saved_out = out if mask is None and (enabled() or interpret) else None
+    return out, (q, k, v, mask, saved_out)
 
 
 def _bwd(scale, has_mask, interpret, residuals, g):

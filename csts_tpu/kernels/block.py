@@ -1010,7 +1010,8 @@ DEC_PAIRED_T = True
 DEC_VOL_VIEWS = False
 
 # Kernel-internals ablation flags (tools/ab_decoder.py --ablate-kernel): members
-# of {"qbuild", "attn", "mlp"} replace that stage with near-free stand-ins at
+# of {"qwin" (window loads → single tap), "qbuild" (subpixel tap build),
+# "attn", "mlp"} replace that stage with near-free stand-ins at
 # trace time, so the per-stage cost of the decoder kernel is measurable on-chip.
 # NEVER set outside dev tools — results are numerically wrong by construction.
 DEC_DEBUG_SKIP: set = set()

@@ -80,6 +80,15 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: in
     loss_name = cfg.MODEL.LOSS_FUNC
     use_nce = "nce" in loss_name
 
+    def main_loss(logits, preds, labels_hm):
+        """The non-NCE term, dispatched identically in the single-step and
+        grad-accum paths (kldiv+egonce is assembled here, not in the registry —
+        train_avgaze_net.py:71-88; other '<x>+egonce' composites raise in
+        ``get_loss_fn`` on both paths rather than silently training kldiv)."""
+        if loss_name in ("kldiv", "kldiv+egonce"):
+            return losses.kldiv_loss(preds, labels_hm)
+        return losses.get_loss_fn(loss_name)(logits, labels_hm)
+
     def loss_fn(params, batch, rng):
         out = csts_lib.csts_apply(
             params, spec, batch["video"], batch["audio"],
@@ -90,10 +99,7 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: in
         else:
             logits = out
         preds = losses.frame_softmax(logits, temperature=2.0)
-        if loss_name in ("kldiv", "kldiv+egonce"):
-            main = losses.kldiv_loss(preds, batch["labels_hm"])
-        else:
-            main = losses.get_loss_fn(loss_name)(logits, batch["labels_hm"])
+        main = main_loss(logits, preds, batch["labels_hm"])
         stats = {"kldiv_loss": main}
         loss = main
         if use_nce:
@@ -129,7 +135,7 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: in
                     deterministic=False, rng=mrng, return_embed=True,
                 )
                 preds = losses.frame_softmax(logits, temperature=2.0)
-                kl = losses.kldiv_loss(preds, mb["labels_hm"])
+                kl = main_loss(logits, preds, mb["labels_hm"])
                 return (kl, v_embed, a_embed), preds
 
             # Pass A: embeddings of every micro-batch, forward only.
