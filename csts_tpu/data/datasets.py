@@ -24,7 +24,6 @@ reference's global ``random``/``np.random`` state.
 
 from __future__ import annotations
 
-import json
 import csv
 import os
 from dataclasses import dataclass
