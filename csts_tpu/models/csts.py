@@ -546,6 +546,9 @@ def csts_apply(
         )
         if i < len(spec.decoder_blocks) - 1:
             feat = feat + inter_feat[-(i + 1)][0]
+        # the decoder's fine grids outgrow the stem (8·64·64 tokens at d4), so
+        # context parallelism keeps sharding through the upsampling path
+        feat = seq_constraint(feat)
         _cap(f"decode_block{i+1}", feat)
 
     feat_grid = _tokens_to_grid(feat, thw)
