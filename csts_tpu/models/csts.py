@@ -27,6 +27,11 @@ from csts_tpu.models import mvit
 from csts_tpu.parallel.mesh import seq_constraint
 from csts_tpu.models.mvit import AttentionSpec, THW, round_width
 
+# Experiment flag (profile campaigns): classify the stem skip BEFORE its
+# T-resize (exact commute — see the head block in ``csts_apply``). Default OFF
+# until measured on-chip.
+HEAD_COMMUTE = False
+
 
 @dataclasses.dataclass(frozen=True)
 class CSTSSpec:
@@ -554,9 +559,24 @@ def csts_apply(
     feat_grid = _tokens_to_grid(feat, thw)
     stem_feat, stem_thw = inter_feat[0]
     stem_grid = _tokens_to_grid(stem_feat, stem_thw)
-    stem_up = ops.trilinear_resize(stem_grid, (stem_thw[0] * 2, stem_thw[1], stem_thw[2]))
-    feat_grid = feat_grid + stem_up
-    logits = ops.conv3d(params["classifier"], feat_grid, (1, 1, 1), (0, 0, 0))
+    if HEAD_COMMUTE:
+        # Experiment (default OFF until measured on-chip): the classifier is a
+        # 1x1x1 conv (a per-voxel linear map), which commutes exactly with the
+        # channel-independent trilinear T-resize — classify the stem grid FIRST
+        # (C -> 1: 96x fewer resize bytes, kills the batch-minor relayout pair
+        # around the stem-skip resize), resize the 1-channel map, add to the
+        # classified decoder grid (bias rides the feat term once; interp
+        # weights sum to 1 so resize(bias)=bias).
+        logits = ops.conv3d(params["classifier"], feat_grid, (1, 1, 1), (0, 0, 0))
+        w = params["classifier"]["w"]
+        w2 = w.reshape(w.shape[-2], w.shape[-1]).astype(stem_grid.dtype)
+        stem_cls = jnp.einsum("bthwc,co->bthwo", stem_grid, w2)
+        logits = logits + ops.trilinear_resize(
+            stem_cls, (stem_thw[0] * 2, stem_thw[1], stem_thw[2]))
+    else:
+        stem_up = ops.trilinear_resize(stem_grid, (stem_thw[0] * 2, stem_thw[1], stem_thw[2]))
+        feat_grid = feat_grid + stem_up
+        logits = ops.conv3d(params["classifier"], feat_grid, (1, 1, 1), (0, 0, 0))
     # (B, T_out, H', W', 1)
 
     if not return_embed and not return_spatial_attn and not return_temporal_attn:

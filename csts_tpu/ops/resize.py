@@ -23,14 +23,36 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
+# Experiment flag (tools/profile_forward.py / ab_decoder campaigns): decompose
+# multi-axis resizes into sequential single-axis resizes with T FIRST. The
+# joint lowering resizes H,W first and T last (profiled: the d4 skip's T-step
+# scale matmul at FINE spatial res pays two batch-minor relayout copies,
+# copy.1232/copy.1233 = 16 ms at batch 128, 253 GB/s); T-first runs that matmul
+# on the 4x-smaller coarse grid. Separable interpolation — axis order doesn't
+# change the math (exact in fp32, rounding-level diffs otherwise). Default OFF
+# until measured on-chip.
+SPLIT_AXES_T_FIRST = False
+
+
+def _resize_axis_split(x: jax.Array, out_shape) -> jax.Array:
+    """Sequential single-axis ``jax.image.resize`` calls, T (axis 1) first."""
+    shape = list(x.shape)
+    for axis in (1, 2, 3):
+        if shape[axis] != out_shape[axis]:
+            shape[axis] = out_shape[axis]
+            x = jax.image.resize(x, tuple(shape), method="linear")
+    return x
+
 
 def trilinear_resize(x: jax.Array, size_thw: Sequence[int]) -> jax.Array:
     """``x``: (B, T, H, W, C) -> (B, *size_thw, C)."""
     b, _, _, _, c = x.shape
     out_shape = (b, int(size_thw[0]), int(size_thw[1]), int(size_thw[2]), c)
+    resize = _resize_axis_split if SPLIT_AXES_T_FIRST else (
+        lambda a, s: jax.image.resize(a, s, method="linear"))
     if x.dtype == jnp.bfloat16:
         # memory-bound op: stay in bf16 (the bf16 path trades exactness for traffic)
-        return jax.image.resize(x, out_shape, method="linear")
+        return resize(x, out_shape)
     # fp32 interpolation for parity with torch F.interpolate
-    y = jax.image.resize(x.astype(jnp.float32), out_shape, method="linear")
+    y = resize(x.astype(jnp.float32), out_shape)
     return y.astype(x.dtype)

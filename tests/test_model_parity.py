@@ -149,3 +149,20 @@ def test_jit_compiles_and_matches_eager(jax_setup):
     eager = csts_lib.csts_apply(params, spec, video, audio)
     jitted = jax.jit(lambda p, v, a: csts_lib.csts_apply(p, spec, v, a))(params, video, audio)
     np.testing.assert_allclose(np.asarray(jitted), np.asarray(eager), atol=1e-5)
+
+
+def test_head_commute_flag_matches_composite(jax_setup):
+    """HEAD_COMMUTE classifies the stem skip before its T-resize — an exact
+    commute (1x1x1 conv is per-voxel linear; interp weights sum to 1, so the
+    bias rides the feat term once). fp32 logits must match to rounding."""
+    spec, params = jax_setup
+    rng = np.random.default_rng(3)
+    video = jnp.asarray(rng.standard_normal((1, FRAMES, CROP, CROP, 3), dtype=np.float32))
+    audio = jnp.asarray(rng.standard_normal((1, FRAMES, CROP, CROP, 1), dtype=np.float32))
+    base = np.asarray(csts_lib.csts_apply(params, spec, video, audio))
+    csts_lib.HEAD_COMMUTE = True
+    try:
+        commuted = np.asarray(csts_lib.csts_apply(params, spec, video, audio))
+    finally:
+        csts_lib.HEAD_COMMUTE = False
+    np.testing.assert_allclose(commuted, base, atol=2e-5)

@@ -177,3 +177,26 @@ def test_drop_path_train_eval():
     # each sample is either 0 or 1/keep_prob
     per_sample = np.asarray(y)[:, 0, 0]
     assert set(np.round(per_sample, 5)).issubset({0.0, 2.0})
+
+
+def test_trilinear_resize_split_axes_matches_joint():
+    """SPLIT_AXES_T_FIRST (sequential single-axis resizes, T first) is the same
+    separable interpolation as the joint lowering — exact in fp32 up to rounding,
+    rounding-level in bf16. Covers the d4-skip shape class (2x on every axis) and
+    the stem-skip shape (T-only, which the split path passes through unchanged)."""
+    from csts_tpu.ops import resize as resize_mod
+
+    rng = np.random.default_rng(5)
+    x32 = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 6), dtype=np.float32))
+    x16 = x32.astype(jnp.bfloat16)
+    for target in [(8, 16, 16), (8, 8, 8), (4, 16, 16)]:
+        joint32 = np.asarray(ops.trilinear_resize(x32, target))
+        joint16 = np.asarray(ops.trilinear_resize(x16, target).astype(jnp.float32))
+        resize_mod.SPLIT_AXES_T_FIRST = True
+        try:
+            split32 = np.asarray(ops.trilinear_resize(x32, target))
+            split16 = np.asarray(ops.trilinear_resize(x16, target).astype(jnp.float32))
+        finally:
+            resize_mod.SPLIT_AXES_T_FIRST = False
+        np.testing.assert_allclose(split32, joint32, atol=2e-6, err_msg=str(target))
+        np.testing.assert_allclose(split16, joint16, atol=0.05, err_msg=str(target))
