@@ -1,0 +1,127 @@
+#!/usr/bin/env python3
+"""One-process A/B of module-level experiment flags on the full flagship forward.
+
+The relay's cross-process variance is ±5%, so flag experiments must flip inside
+ONE process: each config re-jits a fresh step function with the flags set, warms,
+then times a pipelined dispatch loop with a single scalar-readback fence (the
+bench.py protocol — block_until_ready does not fence on this transport).
+
+Known flags (module attribute registry below):
+  head_commute  — classify the stem skip BEFORE its T-resize (models/csts.py)
+  split_resize  — sequential single-axis trilinear resizes, T first (ops/resize.py)
+
+Usage:
+  python tools/ab_flags.py [--batch 128] [--iters 20] \
+      [--configs base head_commute split_resize head_commute+split_resize]
+Run on the TPU host to natural exit; never kill (TPU claim wedges).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+def flag_registry():
+    from csts_tpu.models import csts as csts_lib
+    from csts_tpu.ops import resize as resize_mod
+
+    return {
+        "head_commute": (csts_lib, "HEAD_COMMUTE"),
+        "split_resize": (resize_mod, "SPLIT_AXES_T_FIRST"),
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--iters", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument(
+        "--configs", nargs="+",
+        default=["base", "head_commute", "split_resize",
+                 "head_commute+split_resize"],
+        help="each entry: 'base' or '+'-joined flag names from the registry")
+    args = ap.parse_args()
+
+    from __graft_entry__ import _flagship_cfg
+    from csts_tpu.models import csts as csts_lib
+    from csts_tpu.train import losses
+
+    registry = flag_registry()
+
+    cfg = _flagship_cfg()
+    cfg.TRAIN.MIXED_PRECISION = True
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+    params = jax.tree_util.tree_map(
+        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+    )
+
+    @jax.jit
+    def make_inputs(key):
+        kv, ka = jax.random.split(key)
+        video = jax.random.normal(kv, (args.batch, 8, 256, 256, 3), jnp.bfloat16)
+        audio = jax.random.normal(ka, (args.batch, 8, 256, 256, 1), jnp.bfloat16)
+        return video, audio
+
+    video, audio = make_inputs(jax.random.PRNGKey(0))
+
+    def sync(x):
+        return float(jnp.sum(x[0, 0, 0, 0]))
+
+    results = {}
+    ref_out = None
+    for conf in args.configs:
+        names = [] if conf == "base" else conf.split("+")
+        saved = {}
+        for n in names:
+            mod, attr = registry[n]
+            saved[n] = getattr(mod, attr)
+            setattr(mod, attr, True)
+        try:
+            # fresh lambda => fresh jit cache entry under the flipped flags
+            step = jax.jit(lambda p, v, a: losses.frame_softmax(
+                csts_lib.csts_apply(p, spec, v, a, deterministic=True),
+                temperature=2.0))
+            for _ in range(args.warmup):
+                out = step(params, video, audio)
+                sync(out)
+            # numerical guard: configs must agree at bf16 rounding level
+            if ref_out is None:
+                ref_out = jax.device_get(out)
+            else:
+                import numpy as np
+                delta = float(abs(jax.device_get(out).astype("float32")
+                                  - ref_out.astype("float32")).max())
+                print(f"#   {conf}: max|Δ| vs base = {delta:.2e}", flush=True)
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = step(params, video, audio)
+            sync(out)
+            dt = time.perf_counter() - t0
+        finally:
+            for n in names:
+                mod, attr = registry[n]
+                setattr(mod, attr, saved[n])
+        ms = dt / args.iters * 1000
+        results[conf] = ms
+        print(f"{conf:32s} {ms:8.1f} ms/step  "
+              f"{args.batch / (dt / args.iters):7.1f} clips/s", flush=True)
+
+    base = results.get("base")
+    if base:
+        for conf, ms in results.items():
+            if conf != "base":
+                print(f"# {conf}: {base / ms:.3f}x vs base", flush=True)
+
+
+if __name__ == "__main__":
+    main()
