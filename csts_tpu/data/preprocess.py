@@ -347,6 +347,11 @@ def make_splits(
             kept = []
             for rel in rels:
                 win = parse_clip_window(rel)
+                # Inclusive-boundary overlap on BOTH ends, matching the
+                # reference's trim test exactly (preprocess.py:61 `not (end <
+                # interval[0] or start > interval[1])`): a clip whose exclusive
+                # end merely touches an interval start is dropped there too, so
+                # the generated manifests reproduce the reference's clip set.
                 if win and any(not (win[1] < a or win[0] > b) for a, b in untracked[vid]):
                     continue
                 kept.append(rel)

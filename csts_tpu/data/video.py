@@ -232,7 +232,7 @@ class OpenCVReader(VideoReader):
     (decoder.py:226-310) without PTS math: VideoCapture's frame counter IS the
     frame index for constant-rate streams (the only kind the datasets emit)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, target_fps: float = 30.0):
         assert _HAS_CV2, "OpenCV video IO is not available"
         self._cap = cv2.VideoCapture(path)
         if not self._cap.isOpened():
@@ -247,10 +247,14 @@ class OpenCVReader(VideoReader):
             self._cap.set(cv2.CAP_PROP_POS_FRAMES, 0)
             if num_frames <= 0:
                 raise RuntimeError(f"OpenCV found no decodable frames in {path}")
-        self._meta = ClipMeta(
-            num_frames=num_frames,
-            fps=float(self._cap.get(cv2.CAP_PROP_FPS)),
-        )
+        fps = float(self._cap.get(cv2.CAP_PROP_FPS))
+        if not fps > 0:
+            # Same broken-header class as the frame-count fallback above: a
+            # 0/NaN rate would make clip_size_frames collapse every sampled
+            # window to frame 0. Assume the dataset's target rate instead
+            # (NpyClipReader does the same when no meta sidecar exists).
+            fps = target_fps
+        self._meta = ClipMeta(num_frames=num_frames, fps=fps)
 
     def meta(self) -> ClipMeta:
         return self._meta
@@ -294,5 +298,5 @@ def open_clip(path: str, backend: str = "auto", target_fps: float = 30.0) -> Vid
     if backend == "ffmpeg":
         return FFmpegReader(path)
     if backend == "opencv":
-        return OpenCVReader(path)
+        return OpenCVReader(path, target_fps)
     raise NotImplementedError(f"Unknown decoding backend {backend}")

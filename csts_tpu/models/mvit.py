@@ -149,6 +149,54 @@ def _grid_to_heads(x: jax.Array, num_heads: int) -> Tuple[jax.Array, THW]:
     return out, (t, h, w)
 
 
+def _qkv_col_slice(qkv_p: dict, off: int, dim: int) -> dict:
+    """Column slice [off, off+dim) of the fused qkv projection as a linear op."""
+    sl = {"w": qkv_p["w"][:, off : off + dim]}
+    b = qkv_p.get("b")
+    if b is not None:
+        sl["b"] = b[off : off + dim]
+    return sl
+
+
+def pooled_proj_token_major(
+    qkv_p: dict,
+    off: int,
+    dim: int,
+    xn: jax.Array,
+    thw: THW,
+    pool_w: jax.Array,
+    num_heads: int,
+    stride: Sequence[int],
+    padding: Sequence[int],
+    norm: Optional[dict] = None,
+    *,
+    transposed: bool = False,
+    output_padding: Sequence[int] = (0, 0, 0),
+) -> Tuple[jax.Array, THW]:
+    """One pooled projection, token-major (the round-3 layout recipe, shared by
+    the composite attention and the fused-kernel K/V phase): slice the fused
+    qkv weight columns so the matmul emits ONLY this projection straight into a
+    conv-ready (B, T, H, W, C) grid — the qkv channel order IS
+    ``_heads_to_grid``'s — run the head-tiled depthwise (transposed) conv, and
+    split heads only afterwards, with the reference's pool-norm at eps 1e-5
+    (attention.py:99-118). Fusing the projections or splitting heads first
+    forces fine-resolution split/transpose passes XLA can't eliminate (a slice
+    cannot fuse into a conv operand; ~13 ms/block at stem scale, batch 128)."""
+    b = xn.shape[0]
+    grid = ops.linear_apply(_qkv_col_slice(qkv_p, off, dim), xn).reshape(
+        b, *thw, -1)
+    w_tiled = jnp.tile(pool_w, (1, 1, 1, 1, num_heads)) if num_heads > 1 else pool_w
+    if transposed:
+        out_grid = ops.depthwise_conv_transpose3d(
+            w_tiled, grid, stride, padding, output_padding)
+    else:
+        out_grid = ops.depthwise_conv3d(w_tiled, grid, stride, padding)
+    out, new_thw = _grid_to_heads(out_grid, num_heads)
+    if norm is not None:
+        out = ops.layer_norm(norm, out, eps=1e-5)
+    return out, new_thw
+
+
 def pool_heads_conv(
     x: jax.Array,
     w: jax.Array,
@@ -350,51 +398,36 @@ def multiscale_attention_apply(
 
     if token_major:
 
-        def proj_slice(idx):
-            w_sl = {"w": p["qkv"]["w"][:, idx * spec.dim : (idx + 1) * spec.dim]}
-            if "b" in p["qkv"]:
-                w_sl["b"] = p["qkv"]["b"][idx * spec.dim : (idx + 1) * spec.dim]
-            return ops.linear_apply(w_sl, x)
-
         def split_heads(tokens):
             return tokens.reshape(
                 b, tokens.shape[1], spec.num_heads, spec.head_dim
             ).transpose(0, 2, 1, 3)
 
+        def plain_proj(idx):
+            return split_heads(ops.linear_apply(
+                _qkv_col_slice(p["qkv"], idx * spec.dim, spec.dim), x))
+
         def pooled(idx, w_key, norm_key, transposed: bool):
-            grid = proj_slice(idx).reshape(b, *thw, c)
-            w_tiled = (
-                jnp.tile(p[w_key], (1, 1, 1, 1, spec.num_heads))
-                if spec.num_heads > 1 else p[w_key]
+            q_side = w_key == "pool_q"
+            return pooled_proj_token_major(
+                p["qkv"], idx * spec.dim, spec.dim, x, thw, p[w_key],
+                spec.num_heads,
+                spec.stride_q if q_side else spec.stride_kv,
+                spec.padding_q if q_side else spec.padding_kv,
+                p.get(norm_key),
+                transposed=transposed, output_padding=spec.output_padding_q,
             )
-            if transposed:
-                out_grid = ops.depthwise_conv_transpose3d(
-                    w_tiled, grid, spec.stride_q, spec.padding_q,
-                    spec.output_padding_q,
-                )
-            elif w_key == "pool_q":
-                out_grid = ops.depthwise_conv3d(
-                    w_tiled, grid, spec.stride_q, spec.padding_q
-                )
-            else:
-                out_grid = ops.depthwise_conv3d(
-                    w_tiled, grid, spec.stride_kv, spec.padding_kv
-                )
-            out, new_thw = _grid_to_heads(out_grid, spec.num_heads)
-            if norm_key in p:
-                out = ops.layer_norm(p[norm_key], out, eps=1e-5)
-            return out, new_thw
 
         if "pool_q" in p:
             q, q_thw = pooled(0, "pool_q", "norm_q", transposed=spec.upsample_q)
         else:
-            q = split_heads(proj_slice(0))
+            q = plain_proj(0)
         if "pool_k" in p:
             k, _ = pooled(1, "pool_k", "norm_k", transposed=False)
             v, _ = pooled(2, "pool_v", "norm_v", transposed=False)
         else:
-            k = split_heads(proj_slice(1))
-            v = split_heads(proj_slice(2))
+            k = plain_proj(1)
+            v = plain_proj(2)
     else:
         qkv = ops.linear_apply(p["qkv"], x)
         qkv = qkv.reshape(b, l, 3, spec.num_heads, spec.head_dim)
@@ -448,38 +481,23 @@ def _pooled_kv(p: dict, spec: AttentionSpec, x: jax.Array, thw: THW):
     batch 128; tools/profile_forward.py timeline). At the pooled Lk the
     transpose is noise."""
     xn = ops.layer_norm(p["norm1"], x)
-    wq = p["attn"]["qkv"]["w"]
-    qkv_b = p["attn"]["qkv"].get("b")
     b = x.shape[0]
-    c = spec.num_heads * spec.head_dim
     if "pool_k" in p["attn"]:
-        # separate k and v matmuls: one fused (B,L,2C) projection forces a
-        # materialized split pass before the convs (XLA cannot fuse a slice
-        # into a convolution operand — measured 4.9 ms/block at stem scale)
-        t, h, w = thw
-        outs = []
-        for which, off in (("pool_k", spec.dim), ("pool_v", 2 * spec.dim)):
-            w_half = {"w": wq[:, off : off + spec.dim]}
-            if qkv_b is not None:
-                w_half["b"] = qkv_b[off : off + spec.dim]
-            fine = ops.linear_apply(w_half, xn).reshape(b, t, h, w, c)
-            w_tiled = (
-                jnp.tile(p["attn"][which], (1, 1, 1, 1, spec.num_heads))
-                if spec.num_heads > 1 else p["attn"][which]
-            )
-            outs.append(ops.depthwise_conv3d(
-                w_tiled, fine, spec.stride_kv, spec.padding_kv
-            ))
-        k, _ = _grid_to_heads(outs[0], spec.num_heads)
-        v, _ = _grid_to_heads(outs[1], spec.num_heads)
-        if "norm_k" in p["attn"]:
-            k = ops.layer_norm(p["attn"]["norm_k"], k, eps=1e-5)
-        if "norm_v" in p["attn"]:
-            v = ops.layer_norm(p["attn"]["norm_v"], v, eps=1e-5)
+        # separate k and v matmuls (pooled_proj_token_major): one fused
+        # (B,L,2C) projection forces a materialized split pass before the
+        # convs (XLA cannot fuse a slice into a convolution operand —
+        # measured 4.9 ms/block at stem scale)
+        attn_p = p["attn"]
+        k, _ = pooled_proj_token_major(
+            attn_p["qkv"], spec.dim, spec.dim, xn, thw, attn_p["pool_k"],
+            spec.num_heads, spec.stride_kv, spec.padding_kv,
+            attn_p.get("norm_k"))
+        v, _ = pooled_proj_token_major(
+            attn_p["qkv"], 2 * spec.dim, spec.dim, xn, thw, attn_p["pool_v"],
+            spec.num_heads, spec.stride_kv, spec.padding_kv,
+            attn_p.get("norm_v"))
         return k, v
-    kv_w = {"w": wq[:, spec.dim :]}
-    if qkv_b is not None:
-        kv_w["b"] = qkv_b[spec.dim :]
+    kv_w = _qkv_col_slice(p["attn"]["qkv"], spec.dim, 2 * spec.dim)
     kv = ops.linear_apply(kv_w, xn)
     l = kv.shape[1]
     kv = kv.reshape(b, l, 2, spec.num_heads, spec.head_dim)

@@ -94,11 +94,13 @@ def main():
             for _ in range(args.warmup):
                 out = step(params, video, audio)
                 sync(out)
-            # numerical guard: configs must agree at bf16 rounding level
-            if ref_out is None:
+            # numerical guard: configs must agree at bf16 rounding level.
+            # Only the 'base' config may seed the reference output — without it
+            # a delta "vs base" would silently baseline against whichever
+            # config happened to run first.
+            if conf == "base":
                 ref_out = jax.device_get(out)
-            else:
-                import numpy as np
+            elif ref_out is not None:
                 delta = float(abs(jax.device_get(out).astype("float32")
                                   - ref_out.astype("float32")).max())
                 print(f"#   {conf}: max|Δ| vs base = {delta:.2e}", flush=True)
