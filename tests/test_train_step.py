@@ -172,6 +172,67 @@ def test_seq_parallel_matches_single_device(setup):
     assert abs(float(stats_sp["loss"]) - float(stats1["loss"])) < 1e-4
 
 
+@pytest.mark.slow
+def test_tensor_parallel_shards_and_matches(setup):
+    """dp4×tp2 (Megatron column/row rules): qkv/fc1 shard their output dim and
+    proj/fc2 their input dim over the ``model`` axis
+    (parallel/mesh.py param_sharding_rules). Three assertions make TP a tested
+    capability rather than a compile-and-agree demo: (a) the train step matches
+    the single-device loss; (b) the projection leaves are GENUINELY sharded on
+    device (per-device shard is half the array); (c) the bare forward's
+    compiled HLO carries cross-partition collectives — with the batch sharded
+    over ``data`` only and no gradient psum in a forward, any collective is the
+    row-parallel matmul's partial-sum reduction."""
+    cfg, spec, fresh_state, tx, train_step = setup
+    rng = np.random.default_rng(5)
+    batch_np = make_batch(rng, 8)
+
+    mesh_tp = mesh_lib.make_mesh(model_parallel=2)
+    with jax.sharding.set_mesh(mesh_tp):
+        st = fresh_state()
+        rules = mesh_lib.param_sharding_rules(mesh_tp, st.params, model_parallel=True)
+        params_tp = jax.tree_util.tree_map(jax.device_put, st.params, rules)
+        st_tp = step_lib.TrainState(params_tp, tx.init(params_tp), st.step)
+        b = mesh_lib.shard_batch(mesh_tp, batch_np)
+        st_tp, stats_tp, _ = train_step(st_tp, b, jax.random.PRNGKey(11))
+
+        # (b) Megatron leaves actually live as half-shards on each device
+        sharded = [
+            l for l in jax.tree_util.tree_leaves(st_tp.params)
+            if hasattr(l, "sharding") and l.ndim == 2
+            and l.sharding.shard_shape(l.shape) != l.shape
+        ]
+        assert sharded, "no param leaf is sharded under tp2"
+        assert all(
+            np.prod(l.sharding.shard_shape(l.shape)) * 2 == np.prod(l.shape)
+            for l in sharded
+        )
+
+        # (c) collectives in the forward program
+        def fwd(p, v, a):
+            return csts_lib.csts_apply(p, spec, v, a, deterministic=True)
+
+        hlo = (
+            jax.jit(fwd)
+            .lower(params_tp, b["video"], b["audio"])
+            .compile()
+            .as_text()
+        )
+    assert any(k in hlo for k in ("all-reduce", "all-gather", "collective-permute",
+                                  "all-to-all")), "no collectives in tp forward"
+
+    mesh1 = mesh_lib.make_mesh(num_devices=1)
+    with jax.sharding.set_mesh(mesh1):
+        st1, stats1, _ = train_step(
+            jax.device_put(fresh_state(), mesh_lib.replicated(mesh1)),
+            mesh_lib.shard_batch(mesh1, batch_np),
+            jax.random.PRNGKey(11),
+        )
+    # (a) tp reduction order differs from the single-device matmul → 1e-3,
+    # the dryrun tolerance
+    assert abs(float(stats_tp["loss"]) - float(stats1["loss"])) < 1e-3
+
+
 def test_zero1_matches_replicated(setup):
     """SOLVER.ZERO1 (data-axis-sharded Adam moments) must produce the same params
     as the replicated-state program, while actually sharding the moment buffers."""
