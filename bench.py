@@ -66,6 +66,10 @@ def main():
         os.environ["BENCH_INIT_RETRIES"] = str(tries + 1)
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
+    from csts_tpu.utils import compcache
+
+    compcache.enable()  # persist remote AOT compiles across runs (CSTS_COMPCACHE=0 opts out)
+
     cfg = _flagship_cfg()
     cfg.TRAIN.MIXED_PRECISION = True  # bf16 activations
     spec = csts_lib.build_spec(cfg)

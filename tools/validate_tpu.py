@@ -11,6 +11,10 @@ import json, os, sys, tempfile, time
 import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from csts_tpu.utils import compcache
+
+compcache.enable()  # persist remote AOT compiles across tool runs (CSTS_COMPCACHE=0 to opt out)
+
 root = tempfile.mkdtemp()
 prefix = os.path.join(root, "clips.gaze")
 vid = "v01"
