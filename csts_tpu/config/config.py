@@ -53,6 +53,9 @@ class TrainConfig:
     GRAD_ACCUM_STEPS: int = 1
     # custom_config.py:18 — separate audio-branch init checkpoint
     AUDIO_CHECKPOINT_FILE_PATH: str = ""
+    # "npz" (reference-style master-only files, utils/checkpoint.py) or "orbax"
+    # (async sharding-aware multihost backend, utils/orbax_ckpt.py)
+    CHECKPOINT_BACKEND: str = "npz"
 
 
 @dataclass

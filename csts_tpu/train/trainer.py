@@ -62,7 +62,25 @@ def train(cfg: Config) -> None:
     val_loader = loader_lib.construct_loader(cfg, "val")
     steps_per_epoch = max(len(train_loader), 1)
 
-    state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    # Checkpoint backend dispatch: orbax (async, sharding-aware, multihost —
+    # utils/orbax_ckpt.py) resumes AFTER device placement so each leaf restores
+    # directly into its shard; the npz path keeps the reference's host-side
+    # master-only semantics. Torch-checkpoint fine-tune init always goes through
+    # cu.load_train_checkpoint.
+    ckpt_mngr = None
+    if cfg.TRAIN.CHECKPOINT_BACKEND == "orbax":
+        from csts_tpu.utils import orbax_ckpt
+
+        ckpt_mngr = orbax_ckpt.OrbaxCheckpointer(cfg.OUTPUT_DIR)
+    resume_epoch = (
+        ckpt_mngr.latest_epoch()
+        if ckpt_mngr is not None and cfg.TRAIN.AUTO_RESUME
+        else None
+    )
+    if resume_epoch is None:
+        state, start_epoch = cu.load_train_checkpoint(cfg, state)
+    else:
+        start_epoch = resume_epoch + 1
     state_shardings = None
     if cfg.SOLVER.ZERO1:
         state_shardings = step_lib.TrainState(
@@ -91,12 +109,18 @@ def train(cfg: Config) -> None:
         state = jax.device_put(
             state, state_shardings if state_shardings is not None
             else mesh_lib.replicated(mesh))
+        if ckpt_mngr is not None and resume_epoch is not None:
+            state, _ = ckpt_mngr.restore(state, resume_epoch)
         logger.info("Start epoch: %d", start_epoch + 1)
 
         for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
             if _PREEMPTED.is_set():
-                host_state = jax.tree_util.tree_map(np.asarray, state)
-                cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch - 1, cfg)
+                if ckpt_mngr is not None:
+                    ckpt_mngr.save(state, cur_epoch - 1)
+                    ckpt_mngr.wait()
+                else:
+                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch - 1, cfg)
                 logger.info("Preemption checkpoint saved; exiting.")
                 return
             train_loader.set_epoch(cur_epoch)
@@ -112,11 +136,18 @@ def train(cfg: Config) -> None:
             )
 
             if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
-                host_state = jax.tree_util.tree_map(np.asarray, state)
-                cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch, cfg)
+                if ckpt_mngr is not None:
+                    # async: the write overlaps the next epoch's steps
+                    ckpt_mngr.save(state, cur_epoch)
+                else:
+                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch, cfg)
             if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
                 _eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh)
 
+    if ckpt_mngr is not None:
+        ckpt_mngr.wait()
+        ckpt_mngr.close()
     if writer is not None:
         writer.close()
     logger.info("Training finished!")

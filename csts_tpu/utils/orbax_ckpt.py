@@ -1,0 +1,90 @@
+"""Orbax checkpoint backend: async, sharding-aware, multihost-native.
+
+The npz backend (utils/checkpoint.py) replicates the reference's semantics —
+master-only, host-gathered, one file per epoch
+(/root/reference/slowfast/utils/checkpoint.py:110-143). This backend is the
+TPU-native alternative for production-scale training:
+
+- **async save**: the device→storage write overlaps the next training steps
+  (the trainer only blocks if a second save starts before the first finishes);
+- **direct-to-shard restore**: each leaf is restored with the target state's
+  sharding, so a ZeRO-1/TP-sharded TrainState never materializes unsharded in
+  host RAM;
+- **multihost-native**: every process participates in the distributed write
+  (no master-only gather), which is how orbax scales past single-host RAM.
+
+Selected with ``TRAIN.CHECKPOINT_BACKEND = "orbax"`` (default "npz" keeps the
+parity path). Torch-checkpoint ingestion/conversion stays in
+utils/checkpoint.py — this backend only handles the native save/resume cycle.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+
+from csts_tpu.utils import logging as logging_util
+
+logger = logging_util.get_logger(__name__)
+
+
+def _manager(output_dir: str, max_to_keep: Optional[int] = None):
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(output_dir, "checkpoints_orbax"))
+    options = ocp.CheckpointManagerOptions(
+        max_to_keep=max_to_keep,
+        enable_async_checkpointing=True,
+        create=True,
+    )
+    return ocp.CheckpointManager(path, options=options)
+
+
+class OrbaxCheckpointer:
+    """CheckpointManager wrapper keyed by epoch (the trainer's save unit)."""
+
+    def __init__(self, output_dir: str, max_to_keep: Optional[int] = None):
+        self._mngr = _manager(output_dir, max_to_keep)
+
+    def save(self, state: Any, epoch: int) -> None:
+        """Async-save the (device-resident, possibly sharded) TrainState."""
+        import orbax.checkpoint as ocp
+
+        self._mngr.save(epoch, args=ocp.args.StandardSave(state))
+
+    def latest_epoch(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def restore(self, state: Any, epoch: Optional[int] = None) -> Tuple[Any, int]:
+        """Restore into ``state``'s structure/shardings. Returns (state, epoch).
+
+        ``state`` is the template: concrete arrays restore with their current
+        sharding (device-put'ed per shard — no full-host materialization).
+        """
+        import orbax.checkpoint as ocp
+
+        step = self._mngr.latest_step() if epoch is None else epoch
+        if step is None:
+            return state, -1
+        restored = self._mngr.restore(step, args=ocp.args.StandardRestore(state))
+        logger.info("Restored orbax checkpoint at epoch %d.", step + 1)
+        return restored, step
+
+    def wait(self) -> None:
+        """Block until outstanding async saves are durable (call before exit)."""
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.close()
+
+
+def has_checkpoint(output_dir: str) -> bool:
+    path = os.path.join(output_dir, "checkpoints_orbax")
+    if not os.path.isdir(path):
+        return False
+    try:
+        return any(name.isdigit() for name in os.listdir(path))
+    except OSError:
+        return False

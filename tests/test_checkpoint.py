@@ -246,3 +246,53 @@ def test_export_roundtrip_forward_parity(tmp_path):
     for (pa, la), (pb, lb) in zip(flat_a, flat_b):
         assert pa == pb
         np.testing.assert_array_equal(np.asarray(la, np.float32), lb, err_msg=str(pa))
+
+
+def test_orbax_roundtrip_sharded(tmp_path):
+    """Orbax backend (utils/orbax_ckpt.py): async save of a ZeRO-1-sharded
+    TrainState on the 8-device mesh, restore into a zeroed template carrying
+    the same shardings — every leaf equal, the moment shards stay sharded
+    (direct-to-shard restore, no host materialization), latest_epoch found."""
+    from csts_tpu.parallel import mesh as mesh_lib
+    from csts_tpu.train import step as step_lib
+    from csts_tpu.utils import orbax_ckpt
+
+    cfg = tiny_cfg()
+    # reduced family member (CPU-cheap): depth 4, 16-dim, crop 32
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.AUDIO_FREQ_BINS = 32
+    cfg.DATA.AUDIO_WINDOW = 32
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.NUM_HEADS = 1
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [2, 1, 2, 2], [3, 1, 2, 2]]
+    spec = csts_lib.build_spec(cfg)
+    state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
+    mesh = mesh_lib.make_mesh()
+    shardings = step_lib.TrainState(
+        mesh_lib.param_sharding_rules(mesh, state.params),
+        mesh_lib.opt_state_sharding(mesh, state.opt_state),
+        mesh_lib.replicated(mesh),
+    )
+    with jax.sharding.set_mesh(mesh):
+        st = jax.device_put(state, shardings)
+        ck = orbax_ckpt.OrbaxCheckpointer(str(tmp_path), max_to_keep=2)
+        ck.save(st, epoch=3)
+        ck.wait()
+        assert ck.latest_epoch() == 3
+        assert orbax_ckpt.has_checkpoint(str(tmp_path))
+        template = jax.tree_util.tree_map(jnp.zeros_like, st)
+        restored, ep = ck.restore(template)
+        ck.close()
+    assert ep == 3
+    for a, b in zip(jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(st)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    sharded = [
+        l for l in jax.tree_util.tree_leaves(restored.opt_state)
+        if hasattr(l, "sharding") and l.ndim >= 1
+        and l.sharding.shard_shape(l.shape) != l.shape
+    ]
+    assert sharded, "ZeRO-1 moment leaves lost their sharding through restore"

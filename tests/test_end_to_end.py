@@ -272,6 +272,32 @@ def test_auto_resume(synthetic_root, tmp_path):
     )
 
 
+@pytest.mark.slow
+def test_orbax_trainer_resume(synthetic_root, tmp_path):
+    """TRAIN.CHECKPOINT_BACKEND=orbax through the real trainer: epoch 0 trains
+    and async-saves; a second train() call must resume from the orbax manager
+    (restore happens after device placement — trainer.py) and finish epoch 1."""
+    from csts_tpu.train.trainer import train as run_train
+    from csts_tpu.utils import orbax_ckpt
+
+    out = str(tmp_path / "orbax_resume")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    cfg.TRAIN.CHECKPOINT_BACKEND = "orbax"
+    cfg.SOLVER.MAX_EPOCH = 1
+    run_train(cfg)
+    assert orbax_ckpt.has_checkpoint(out)
+    ck = orbax_ckpt.OrbaxCheckpointer(out)
+    assert ck.latest_epoch() == 0
+    ck.close()
+
+    cfg.SOLVER.MAX_EPOCH = 2
+    run_train(cfg)  # resumes at epoch 1; re-running epoch 0 would also save it
+    ck = orbax_ckpt.OrbaxCheckpointer(out)
+    assert ck.latest_epoch() == 1
+    ck.close()
+
+
 def test_full_frame_sliding_window(synthetic_root, tmp_path, monkeypatch):
     from csts_tpu.data import datasets as datasets_lib, video as video_lib
     from csts_tpu.data.datasets import build_dataset
