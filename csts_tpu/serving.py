@@ -7,10 +7,16 @@ gaze points.
 
     predictor = GazePredictor.from_checkpoint(cfg, "weights.npz")  # or .pyth
     out = predictor.predict(video_u8, audio_stft)   # dicts of numpy arrays
+
+For deployment, :meth:`GazePredictor.export_compiled` AOT-serializes the
+per-bucket forwards via ``jax.export`` (StableHLO); a serving host reloads with
+:meth:`GazePredictor.from_exported` — no model Python, no tracing, no torch.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Dict, Optional, Sequence
 
 import numpy as np
@@ -38,6 +44,9 @@ class GazePredictor:
             )
         self.params = params
         self.batch_sizes = sorted(batch_sizes)
+        self._crop = cfg.DATA.TEST_CROP_SIZE
+        self._mean = cfg.DATA.MEAN
+        self._std = cfg.DATA.STD
 
         spec = self.spec
 
@@ -68,14 +77,107 @@ class GazePredictor:
 
     def preprocess_frames(self, frames_u8: np.ndarray) -> np.ndarray:
         """(T, H, W, 3) uint8 -> normalized center-cropped (T, crop, crop, 3)."""
-        size = self.cfg.DATA.TEST_CROP_SIZE
+        size = self._crop
         dummy_gaze = np.full((frames_u8.shape[0], 3), 0.5)
         out, _ = transform.spatial_sampling_fused(
             frames_u8, dummy_gaze, spatial_idx=1, min_scale=size, max_scale=size,
             crop_size=size, random_horizontal_flip=False, rng=None,
-            mean=self.cfg.DATA.MEAN, std=self.cfg.DATA.STD,
+            mean=self._mean, std=self._std,
         )
         return out
+
+    # ------------------------------------------------------------------
+    # AOT export / import (jax.export — StableHLO serialization)
+    # ------------------------------------------------------------------
+
+    def export_compiled(self, path: str, platforms: Sequence[str] = ("tpu", "cpu")):
+        """AOT-serialize this predictor into a self-contained artifact directory.
+
+        Writes one ``jax.export`` StableHLO program per batch bucket (traced with
+        flat-leaf-list params so the loader needs no pytree definition), the
+        weights (positional ``leaf_NNNNN`` npz, the framework's checkpoint leaf
+        order), and a meta.json with shapes + preprocessing constants. The export
+        traces the composite (golden-parity-tested) attention path so one
+        artifact lowers for every requested platform; serving hosts reload with
+        :meth:`from_exported` without importing the model or config code.
+        """
+        from jax import export as jexport
+
+        from csts_tpu.kernels import attention as ka
+
+        os.makedirs(path, exist_ok=True)
+        t = self.cfg.DATA.NUM_FRAMES
+        s = self.cfg.DATA.TEST_CROP_SIZE
+        fbins = self.cfg.DATA.AUDIO_FREQ_BINS
+        win = self.cfg.DATA.AUDIO_WINDOW
+        leaves, treedef = jax.tree_util.tree_flatten(self.params)
+        spec = self.spec
+
+        @jax.jit
+        def _forward_flat(leaves, video, audio):
+            params = jax.tree_util.tree_unflatten(treedef, leaves)
+            logits = csts_lib.csts_apply(params, spec, video, audio, deterministic=True)
+            return losses.frame_softmax(logits, temperature=2.0)
+
+        leaf_structs = [jax.ShapeDtypeStruct(np.shape(l), l.dtype) for l in leaves]
+        was_enabled = ka.enabled()
+        ka.set_enabled(False)
+        try:
+            for b in self.batch_sizes:
+                exp = jexport.export(_forward_flat, platforms=tuple(platforms))(
+                    leaf_structs,
+                    jax.ShapeDtypeStruct((b, t, s, s, 3), jnp.float32),
+                    jax.ShapeDtypeStruct((b, t, fbins, win, 1), jnp.float32),
+                )
+                with open(os.path.join(path, f"forward_b{b}.stablehlo"), "wb") as f:
+                    f.write(exp.serialize())
+        finally:
+            ka.set_enabled(was_enabled)
+        np.savez(
+            os.path.join(path, "params.npz"),
+            **{f"leaf_{i:05d}": np.asarray(l) for i, l in enumerate(leaves)},
+        )
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "batch_sizes": list(self.batch_sizes),
+                    "num_frames": t,
+                    "crop_size": s,
+                    "audio_freq_bins": fbins,
+                    "audio_window": win,
+                    "mean": list(self._mean),
+                    "std": list(self._std),
+                    "platforms": list(platforms),
+                },
+                f,
+            )
+
+    @classmethod
+    def from_exported(cls, path: str) -> "GazePredictor":
+        """Load an :meth:`export_compiled` artifact — no model/config code runs."""
+        from jax import export as jexport
+
+        with open(os.path.join(path, "meta.json")) as f:
+            meta = json.load(f)
+        blob = np.load(os.path.join(path, "params.npz"))
+        leaves = [jnp.asarray(blob[k]) for k in sorted(blob.files)]
+        programs = {}
+        for b in meta["batch_sizes"]:
+            with open(os.path.join(path, f"forward_b{b}.stablehlo"), "rb") as f:
+                programs[b] = jexport.deserialize(f.read())
+
+        obj = cls.__new__(cls)
+        obj.cfg = None
+        obj.spec = None
+        obj.params = leaves
+        obj.batch_sizes = sorted(meta["batch_sizes"])
+        obj._crop = meta["crop_size"]
+        obj._mean = meta["mean"]
+        obj._std = meta["std"]
+        obj._forward = lambda params, video, audio: programs[video.shape[0]].call(
+            params, video, audio
+        )
+        return obj
 
     def predict(self, video: np.ndarray, audio: np.ndarray) -> Dict[str, np.ndarray]:
         """``video``: (B, T, crop, crop, 3) normalized float32 (or (T,...) for one

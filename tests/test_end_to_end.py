@@ -347,6 +347,35 @@ def test_serving_predictor(synthetic_root, tmp_path):
     assert prepped.shape == (8, CROP, CROP, 3)
 
 
+def test_serving_export_roundtrip(synthetic_root, tmp_path):
+    """export_compiled → from_exported: the deserialized StableHLO program must
+    reproduce the live predictor bit-for-bit (same composite math), and the
+    loader must not touch model/config code (serving.py from_exported)."""
+    from csts_tpu.serving import GazePredictor
+
+    cfg = make_e2e_cfg(synthetic_root, str(tmp_path))
+    predictor = GazePredictor.from_checkpoint(cfg, None, batch_sizes=(2,))
+    rng = np.random.default_rng(0)
+    video = rng.standard_normal((2, 8, CROP, CROP, 3)).astype(np.float32)
+    audio = rng.standard_normal((2, 8, 32, 32, 1)).astype(np.float32)
+    live = predictor.predict(video, audio)
+
+    art = str(tmp_path / "exported")
+    # the deployment artifact lowers for BOTH platforms; this host runs the cpu one
+    predictor.export_compiled(art, platforms=("tpu", "cpu"))
+    assert os.path.exists(os.path.join(art, "forward_b2.stablehlo"))
+    assert os.path.exists(os.path.join(art, "params.npz"))
+
+    reloaded = GazePredictor.from_exported(art)
+    out = reloaded.predict(video, audio)
+    np.testing.assert_allclose(out["heatmaps"], live["heatmaps"], atol=1e-6)
+    np.testing.assert_array_equal(out["gaze_xy"], live["gaze_xy"])
+    # uint8 preprocessing works from meta constants alone (no cfg on the host)
+    assert reloaded.cfg is None
+    frames_u8 = rng.integers(0, 255, (8, 40, 56, 3), dtype=np.uint8)
+    assert reloaded.preprocess_frames(frames_u8).shape == (8, CROP, CROP, 3)
+
+
 def make_aria_synthetic(root):
     """Aria layout: clips/<vid>/<clip>_t{s}_t{e-1}.mp4, 100 frames @20fps, audio under
     clips.audio_24kHz_stft, labels <vid>.csv with 2-column offset."""
