@@ -34,7 +34,11 @@ from csts_tpu.utils import checkpoint as cu
 class GazePredictor:
     """Batched gaze-heatmap inference with shape bucketing."""
 
-    def __init__(self, cfg: Config, params, batch_sizes: Sequence[int] = (1, 8)):
+    def __init__(self, cfg: Config, params, batch_sizes: Sequence[int] = (1, 8),
+                 mesh=None):
+        """``mesh``: optional `jax.sharding.Mesh` with a data axis — inference
+        batches shard over it (params replicated, one SPMD forward across all
+        chips). Every bucket must divide by the data-axis size."""
         self.cfg = cfg
         self.spec = csts_lib.build_spec(cfg)
         if cfg.TRAIN.MIXED_PRECISION:
@@ -42,20 +46,37 @@ class GazePredictor:
                 lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a,
                 params,
             )
-        self.params = params
         self.batch_sizes = sorted(batch_sizes)
+        self.mesh = mesh
         self._crop = cfg.DATA.TEST_CROP_SIZE
         self._mean = cfg.DATA.MEAN
         self._std = cfg.DATA.STD
 
         spec = self.spec
 
-        @jax.jit
-        def _forward(params, video, audio):
+        def _fwd(params, video, audio):
             logits = csts_lib.csts_apply(params, spec, video, audio, deterministic=True)
             return losses.frame_softmax(logits, temperature=2.0)
 
-        self._forward = _forward
+        if mesh is None:
+            self._forward = jax.jit(_fwd)
+        else:
+            from csts_tpu.parallel import mesh as mesh_lib
+
+            dp = int(np.prod([mesh.shape[a] for a in mesh.axis_names
+                              if a == mesh_lib.DATA_AXIS]))
+            bad = [b for b in self.batch_sizes if b % dp]
+            assert not bad, f"batch buckets {bad} do not divide the {dp}-way data axis"
+            params = jax.device_put(params, mesh_lib.replicated(mesh))
+            self._forward = jax.jit(
+                _fwd,
+                in_shardings=(
+                    mesh_lib.replicated(mesh),
+                    mesh_lib.batch_sharding(mesh),
+                    mesh_lib.batch_sharding(mesh),
+                ),
+            )
+        self.params = params
 
     @classmethod
     def from_checkpoint(

@@ -347,6 +347,28 @@ def test_serving_predictor(synthetic_root, tmp_path):
     assert prepped.shape == (8, CROP, CROP, 3)
 
 
+def test_serving_mesh_sharded(synthetic_root, tmp_path):
+    """mesh= GazePredictor: batch shards over the 8-device data axis, params
+    replicate, and the SPMD forward matches the single-device predictor."""
+    from csts_tpu.parallel import mesh as mesh_lib
+    from csts_tpu.serving import GazePredictor
+
+    cfg = make_e2e_cfg(synthetic_root, str(tmp_path))
+    single = GazePredictor.from_checkpoint(cfg, None, batch_sizes=(8,))
+    mesh = mesh_lib.make_mesh(8)
+    sharded = GazePredictor(cfg, single.params, batch_sizes=(8,), mesh=mesh)
+
+    rng = np.random.default_rng(3)
+    video = rng.standard_normal((5, 8, CROP, CROP, 3)).astype(np.float32)
+    audio = rng.standard_normal((5, 8, 32, 32, 1)).astype(np.float32)
+    a = single.predict(video, audio)
+    b = sharded.predict(video, audio)
+    np.testing.assert_allclose(b["heatmaps"], a["heatmaps"], atol=1e-6)
+
+    with pytest.raises(AssertionError):
+        GazePredictor(cfg, single.params, batch_sizes=(2,), mesh=mesh)
+
+
 def test_serving_export_roundtrip(synthetic_root, tmp_path):
     """export_compiled → from_exported: the deserialized StableHLO program must
     reproduce the live predictor bit-for-bit (same composite math), and the
