@@ -186,12 +186,18 @@ def main():
           f"iters={args.iters}", flush=True)
     bench("xla-read-only (fused sum)", xla_read_only, nbytes, check=False)
     bench("xla-copy-honest", xla_copy_honest, 2 * nbytes)
-    tiles = (8, 16) if INTERP else (64, 256, 1024)
+    # VMEM: a (tile, 16384) bf16 block is tile/32 MB; double-buffered in+out
+    # needs 4 resident blocks, so tile 128 hits the 16 MB scoped limit exactly
+    # (tile 256 measured OOM on-chip: "32.00M and limit 16.00M").
+    tiles = (8, 16) if INTERP else (16, 32, 64)
     for tile in tiles:
         bench(f"pallas-auto tile={tile}", lambda x, t=tile: pallas_auto(x, t),
               2 * nbytes)
+    # Same budget for the manual pipeline: 2 spaces × slots × chunk/32 MB.
+    # The first on-chip run's ((64,2)...) sweep all exceeded the 14 MB guard
+    # at LANES=16384 and silently skipped — keep every entry ≤ 8.4 MB.
     sweeps = ((8, 2), (4, 4)) if INTERP else \
-        ((64, 2), (64, 4), (128, 2), (256, 2), (32, 8))
+        ((16, 2), (16, 4), (32, 2), (32, 3), (8, 8))
     for chunk, slots in sweeps:
         vmem_mb = 2 * slots * chunk * LANES * 2 / 1e6
         if vmem_mb > 14:
