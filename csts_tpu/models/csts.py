@@ -27,10 +27,13 @@ from csts_tpu.models import mvit
 from csts_tpu.parallel.mesh import seq_constraint
 from csts_tpu.models.mvit import AttentionSpec, THW, round_width
 
-# Experiment flag (profile campaigns): classify the stem skip BEFORE its
-# T-resize (exact commute — see the head block in ``csts_apply``). Default OFF
-# until measured on-chip.
-HEAD_COMMUTE = False
+# Classify the stem skip BEFORE its T-resize (exact commute — see the head
+# block in ``csts_apply``). On-chip A/B (tools/ab_flags.py, batch 128, one
+# process, max|Δ| vs base 3.8e-06 bf16): 607.7 ms/step vs 618.3 base when the
+# resize is the SPLIT_AXES_T_FIRST separable lowering; with the joint lowering
+# the 1-channel resize is pathological (18.5 s/step), so the use site only
+# commutes when ops.resize.SPLIT_AXES_T_FIRST is also on. Default ON.
+HEAD_COMMUTE = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -559,14 +562,15 @@ def csts_apply(
     feat_grid = _tokens_to_grid(feat, thw)
     stem_feat, stem_thw = inter_feat[0]
     stem_grid = _tokens_to_grid(stem_feat, stem_thw)
-    if HEAD_COMMUTE:
-        # Experiment (default OFF until measured on-chip): the classifier is a
-        # 1x1x1 conv (a per-voxel linear map), which commutes exactly with the
-        # channel-independent trilinear T-resize — classify the stem grid FIRST
-        # (C -> 1: 96x fewer resize bytes, kills the batch-minor relayout pair
-        # around the stem-skip resize), resize the 1-channel map, add to the
-        # classified decoder grid (bias rides the feat term once; interp
-        # weights sum to 1 so resize(bias)=bias).
+    if HEAD_COMMUTE and ops.resize.SPLIT_AXES_T_FIRST:
+        # The classifier is a 1x1x1 conv (a per-voxel linear map), which
+        # commutes exactly with the channel-independent trilinear T-resize —
+        # classify the stem grid FIRST (C -> 1: 96x fewer resize bytes, kills
+        # the batch-minor relayout pair around the stem-skip resize), resize
+        # the 1-channel map, add to the classified decoder grid (bias rides
+        # the feat term once; interp weights sum to 1 so resize(bias)=bias).
+        # Gated on the separable resize: the joint lowering of the 1-channel
+        # map measured 18.5 s/step on-chip (see the flag comment above).
         logits = ops.conv3d(params["classifier"], feat_grid, (1, 1, 1), (0, 0, 0))
         w = params["classifier"]["w"]
         w2 = w.reshape(w.shape[-2], w.shape[-1]).astype(stem_grid.dtype)

@@ -23,15 +23,17 @@ from typing import Sequence
 import jax
 import jax.numpy as jnp
 
-# Experiment flag (tools/profile_forward.py / ab_decoder campaigns): decompose
-# multi-axis resizes into sequential single-axis resizes with T FIRST. The
-# joint lowering resizes H,W first and T last (profiled: the d4 skip's T-step
-# scale matmul at FINE spatial res pays two batch-minor relayout copies,
-# copy.1232/copy.1233 = 16 ms at batch 128, 253 GB/s); T-first runs that matmul
-# on the 4x-smaller coarse grid. Separable interpolation — axis order doesn't
-# change the math (exact in fp32, rounding-level diffs otherwise). Default OFF
-# until measured on-chip.
-SPLIT_AXES_T_FIRST = False
+# Decompose multi-axis resizes into sequential single-axis resizes with T
+# FIRST. The joint lowering resizes H,W first and T last (profiled: the d4
+# skip's T-step scale matmul at FINE spatial res pays two batch-minor relayout
+# copies, copy.1232/copy.1233 = 16 ms at batch 128, 253 GB/s); T-first runs
+# that matmul on the 4x-smaller coarse grid. Separable interpolation — axis
+# order doesn't change the math (exact in fp32, rounding-level diffs
+# otherwise). On-chip A/B (tools/ab_flags.py, batch 128, one process):
+# bit-exact vs joint (max|Δ|=0) and 614.1 vs 618.3 ms/step alone, 607.7 ms
+# combined with models/csts.py HEAD_COMMUTE (which REQUIRES this lowering —
+# the joint resize of its 1-channel map measured 18.5 s/step). Default ON.
+SPLIT_AXES_T_FIRST = True
 
 
 def _resize_axis_split(x: jax.Array, out_shape) -> jax.Array:

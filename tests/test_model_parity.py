@@ -159,10 +159,12 @@ def test_head_commute_flag_matches_composite(jax_setup):
     rng = np.random.default_rng(3)
     video = jnp.asarray(rng.standard_normal((1, FRAMES, CROP, CROP, 3), dtype=np.float32))
     audio = jnp.asarray(rng.standard_normal((1, FRAMES, CROP, CROP, 1), dtype=np.float32))
-    base = np.asarray(csts_lib.csts_apply(params, spec, video, audio))
-    csts_lib.HEAD_COMMUTE = True
+    saved = csts_lib.HEAD_COMMUTE
     try:
+        csts_lib.HEAD_COMMUTE = False
+        base = np.asarray(csts_lib.csts_apply(params, spec, video, audio))
+        csts_lib.HEAD_COMMUTE = True
         commuted = np.asarray(csts_lib.csts_apply(params, spec, video, audio))
     finally:
-        csts_lib.HEAD_COMMUTE = False
+        csts_lib.HEAD_COMMUTE = saved
     np.testing.assert_allclose(commuted, base, atol=2e-5)

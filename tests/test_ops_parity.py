@@ -189,14 +189,16 @@ def test_trilinear_resize_split_axes_matches_joint():
     rng = np.random.default_rng(5)
     x32 = jnp.asarray(rng.standard_normal((2, 4, 8, 8, 6), dtype=np.float32))
     x16 = x32.astype(jnp.bfloat16)
-    for target in [(8, 16, 16), (8, 8, 8), (4, 16, 16)]:
-        joint32 = np.asarray(ops.trilinear_resize(x32, target))
-        joint16 = np.asarray(ops.trilinear_resize(x16, target).astype(jnp.float32))
-        resize_mod.SPLIT_AXES_T_FIRST = True
-        try:
+    saved = resize_mod.SPLIT_AXES_T_FIRST
+    try:
+        for target in [(8, 16, 16), (8, 8, 8), (4, 16, 16)]:
+            resize_mod.SPLIT_AXES_T_FIRST = False
+            joint32 = np.asarray(ops.trilinear_resize(x32, target))
+            joint16 = np.asarray(ops.trilinear_resize(x16, target).astype(jnp.float32))
+            resize_mod.SPLIT_AXES_T_FIRST = True
             split32 = np.asarray(ops.trilinear_resize(x32, target))
             split16 = np.asarray(ops.trilinear_resize(x16, target).astype(jnp.float32))
-        finally:
-            resize_mod.SPLIT_AXES_T_FIRST = False
-        np.testing.assert_allclose(split32, joint32, atol=2e-6, err_msg=str(target))
-        np.testing.assert_allclose(split16, joint16, atol=0.05, err_msg=str(target))
+            np.testing.assert_allclose(split32, joint32, atol=2e-6, err_msg=str(target))
+            np.testing.assert_allclose(split16, joint16, atol=0.05, err_msg=str(target))
+    finally:
+        resize_mod.SPLIT_AXES_T_FIRST = saved
