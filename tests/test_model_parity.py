@@ -159,12 +159,20 @@ def test_head_commute_flag_matches_composite(jax_setup):
     rng = np.random.default_rng(3)
     video = jnp.asarray(rng.standard_normal((1, FRAMES, CROP, CROP, 3), dtype=np.float32))
     audio = jnp.asarray(rng.standard_normal((1, FRAMES, CROP, CROP, 1), dtype=np.float32))
+    from csts_tpu.ops import resize as resize_mod
+
     saved = csts_lib.HEAD_COMMUTE
+    saved_split = resize_mod.SPLIT_AXES_T_FIRST
     try:
+        # the commuted branch is gated on HEAD_COMMUTE AND SPLIT_AXES_T_FIRST;
+        # force the resize flag too so this test can't pass vacuously if its
+        # default ever flips back to False
+        resize_mod.SPLIT_AXES_T_FIRST = True
         csts_lib.HEAD_COMMUTE = False
         base = np.asarray(csts_lib.csts_apply(params, spec, video, audio))
         csts_lib.HEAD_COMMUTE = True
         commuted = np.asarray(csts_lib.csts_apply(params, spec, video, audio))
     finally:
         csts_lib.HEAD_COMMUTE = saved
+        resize_mod.SPLIT_AXES_T_FIRST = saved_split
     np.testing.assert_allclose(commuted, base, atol=2e-5)

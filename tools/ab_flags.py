@@ -6,6 +6,9 @@ ONE process: each config re-jits a fresh step function with the flags set, warms
 then times a pipelined dispatch loop with a single scalar-readback fence (the
 bench.py protocol — block_until_ready does not fence on this transport).
 
+'base' means ALL registry flags forced OFF (module defaults are overridden in
+both directions, so the tool keeps working after a flag defaults to True).
+
 Known flags (module attribute registry below):
   head_commute  — classify the stem skip BEFORE its T-resize (models/csts.py)
   split_resize  — sequential single-axis trilinear resizes, T first (ops/resize.py)
@@ -85,11 +88,14 @@ def main():
     ref_out = None
     for conf in args.configs:
         names = [] if conf == "base" else conf.split("+")
+        # Every config sets EVERY registry flag explicitly — False unless
+        # named, True if named — so 'base' really is all-flags-off even after
+        # a flag's module default flips to True (otherwise every config would
+        # silently compare the identical default program against itself).
         saved = {}
-        for n in names:
-            mod, attr = registry[n]
-            saved[n] = getattr(mod, attr)
-            setattr(mod, attr, True)
+        for key, (mod, attr) in registry.items():
+            saved[key] = getattr(mod, attr)
+            setattr(mod, attr, key in names)
         try:
             # fresh lambda => fresh jit cache entry under the flipped flags
             step = jax.jit(lambda p, v, a: losses.frame_softmax(
@@ -114,9 +120,8 @@ def main():
             sync(out)
             dt = time.perf_counter() - t0
         finally:
-            for n in names:
-                mod, attr = registry[n]
-                setattr(mod, attr, saved[n])
+            for key, (mod, attr) in registry.items():
+                setattr(mod, attr, saved[key])
         ms = dt / args.iters * 1000
         results[conf] = ms
         print(f"{conf:32s} {ms:8.1f} ms/step  "

@@ -18,8 +18,17 @@ pipeline (BlockSpec grid) is the cap or whether manual double-buffered DMA
   dma-hbm2hbm        one whole-array DMA, no VMEM bounce (engine ceiling)
 
 All rates are (in + out) bytes unless marked read-only. Usage:
-  python tools/probe_dma.py [--iters 10] [--mb 256]
+  python tools/probe_dma.py [--iters 10] [--reps 8] [--mb 256]
 Run on the TPU host to natural exit; never kill (TPU claim wedges).
+
+HARNESS (round-4 fix): the first on-chip run timed ONE pass per dispatch, so
+the ~5 ms relay enqueue cost swamped the ~0.6 ms device pass and every rate
+read 10-18x low (xla-read-only 46.8 GB/s vs bench_roofline's 872). Like
+bench_roofline, each dispatch now runs REPS passes over REPS distinct inputs
+unrolled inside one jit (distinct inputs defeat CSE), so per-pass time is
+total/(ITERS*REPS). A sanity gate at the end requires the xla-read-only leg
+to reproduce the roofline record (>=500 GB/s) or the run exits 2 and every
+number printed must be treated as relay-dispatch noise, not bandwidth.
 """
 
 import argparse
@@ -46,6 +55,9 @@ LANES = 16384  # row width; 16384 bf16 lanes = 32 KB/row
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--reps", type=int, default=8,
+                    help="passes unrolled inside one jit (amortizes the "
+                         "~5 ms relay dispatch; distinct inputs defeat CSE)")
     ap.add_argument("--mb", type=int, default=256, help="stream size in MB")
     ap.add_argument("--interpret", action="store_true",
                     help="CPU interpret-mode smoke test (tiny stream, checks "
@@ -58,28 +70,46 @@ def main():
 
     rows = (1 if args.interpret else args.mb) * 1024 * 1024 // (LANES * 2)
     INTERP = args.interpret
+    REPS = 1 if INTERP else args.reps
     x = jax.jit(lambda: jax.random.normal(
         jax.random.PRNGKey(0), (rows, LANES), jnp.bfloat16))()
     nbytes = x.size * 2
+    # REPS distinct inputs (defeats CSE); sliced per pass inside one jit so a
+    # single relay dispatch covers REPS streaming passes.
+    xs = None if INTERP else jax.jit(lambda x: jnp.stack(
+        [x + jnp.bfloat16(i) for i in range(REPS)]))(x)
     # interpret mode: the scaled first row every copy variant must return
     want_row0 = (x[0] * jnp.bfloat16(1.0001)) if INTERP else None
+    rates = {}
 
     def bench(name, fn, bytes_, check=True):
-        jitted = jax.jit(fn)
-        for _ in range(2):
-            float(jnp.sum(jitted(x)))
-        t0 = time.perf_counter()
-        for _ in range(args.iters):
-            out = jitted(x)
-        float(jnp.sum(out))
-        dt = (time.perf_counter() - t0) / args.iters
-        if INTERP and check is not False:
+        if INTERP:
+            out = jax.jit(fn)(x)
+            if check is False:
+                print(f"{name:32s} ran (unchecked)", flush=True)
+                return
             want = want_row0 if check is True else check
             ok = bool(jnp.array_equal(out, want))
             print(f"{name:32s} {'OK' if ok else 'WRONG BYTES'}", flush=True)
             assert ok, name
             return
-        print(f"{name:32s} {dt*1000:8.3f} ms  {bytes_ / dt / 1e9:7.1f} GB/s",
+
+        def looped(xs):
+            acc = jnp.zeros((), jnp.float32)
+            for i in range(REPS):
+                acc = acc + jnp.sum(fn(xs[i])).astype(jnp.float32)
+            return acc
+
+        jitted = jax.jit(looped)
+        for _ in range(2):
+            float(jitted(xs))
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            out = jitted(xs)
+        float(out)
+        dt = (time.perf_counter() - t0) / (args.iters * REPS)
+        rates[name] = bytes_ / dt / 1e9
+        print(f"{name:32s} {dt*1000:8.3f} ms  {rates[name]:7.1f} GB/s",
               flush=True)
 
     # readback is fn's output: keep it tiny (one row) so the harness sum adds
@@ -201,11 +231,27 @@ def main():
     for chunk, slots in sweeps:
         vmem_mb = 2 * slots * chunk * LANES * 2 / 1e6
         if vmem_mb > 14:
+            print(f"SKIP pallas-dma c={chunk} s={slots} "
+                  f"({vmem_mb:.0f}MB > 14 MB VMEM guard)", flush=True)
             continue
         bench(f"pallas-dma c={chunk} s={slots} ({vmem_mb:.0f}MB)",
               lambda x, c=chunk, s=slots: pallas_dma(x, c, s), 2 * nbytes)
     bench("dma-hbm2hbm (engine ceiling)", dma_hbm2hbm, 2 * nbytes,
           check=(x[0] if INTERP else False))
+
+    # Sanity gate (round-4): the read-only leg must reproduce bench_roofline's
+    # ~872 GB/s XLA stream record. If it doesn't, this process measured relay
+    # dispatch / cold-start artifacts and NO number above can support the
+    # manual-DMA decoder decision.
+    if not INTERP:
+        ro = rates.get("xla-read-only (fused sum)", 0.0)
+        if ro < 500.0:
+            print(f"RESULT INVALID: xla-read-only {ro:.1f} GB/s < 500 "
+                  f"(roofline record ~872) — dispatch-bound, numbers unusable",
+                  flush=True)
+            sys.exit(2)
+        print(f"SANITY OK: xla-read-only {ro:.1f} GB/s reproduces roofline",
+              flush=True)
 
 
 if __name__ == "__main__":
