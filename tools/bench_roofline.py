@@ -9,6 +9,20 @@ shapes, an elementwise stream (bandwidth ceiling), LayerNorm chains, the grouped
 kv-pool conv, and the head-split relayout. Numbers print as achieved TFLOP/s or
 GB/s next to time.
 
+ACCOUNTING FIX (round 4): the original harness consumed outputs with
+``jnp.sum(fn(x))`` inside the jit, which let XLA fuse elementwise probes into
+the reduction — the "copy"/"stream"/"transpose" outputs never materialized to
+HBM while ``bytes_`` still credited read+write. That inflated every XLA
+streaming row ~2x (the recorded 872-884 GB/s "XLA stream" is really ~436-457
+honest; tools/probe_dma.py measured xla-copy-honest 456.9 on the same chip)
+and made the head-split row meaningless (sum is permutation-invariant, the
+transpose folded away). Pallas rows were always honest (a custom-call's output
+materializes). The harness now wraps fn's output in lax.optimization_barrier
+before the sum so EVERY probe pays its write; expect XLA streaming rows ~2x
+lower and Pallas/matmul rows unchanged vs pre-round-4 records. Honest gap:
+Pallas streams ~270 vs XLA ~457 GB/s (1.7x, the DMA-engine vs XLA-stream
+paths — see probe_dma.py's verdict), not the 3.7x previously recorded.
+
 Usage: python tools/bench_roofline.py [--iters 10] [--reps 8]
 Run on the TPU host to natural exit; never kill (TPU claim wedges).
 """
@@ -48,7 +62,11 @@ def main():
         def looped(xs, *rest):
             acc = jnp.zeros((), jnp.float32)
             for i in range(REPS):
-                acc = acc + jnp.sum(fn(xs[i], *rest)).astype(jnp.float32)
+                # barrier: force fn's output to materialize (round-4 fix —
+                # without it XLA fuses elementwise probes into the sum and
+                # the advertised write bytes never happen)
+                y = jax.lax.optimization_barrier(fn(xs[i], *rest))
+                acc = acc + jnp.sum(y).astype(jnp.float32)
             return acc
 
         jitted = jax.jit(looped)
