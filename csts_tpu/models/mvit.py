@@ -775,11 +775,18 @@ def _decoder_kernel_forward(x, p, spec, thw, thw_f):
     """Assemble the fused decoder-block kernel's inputs (coarse Q slots, pooled
     K/V, trilinear skip) and run it. thw/thw_f: coarse/fine grids."""
     from csts_tpu.kernels import block as kb
+    from csts_tpu.kernels import upsample as kup
 
     k, v = _pooled_kv(p, spec, x, thw)
     q6 = _coarse_q_slots(p, spec, x, thw)
     if spec.skip_upsample_on:
-        skip, _ = upsample_tokens_trilinear(x, thw, spec.stride_q)
+        if kup.T2_SKIP_KERNEL and kup.eligible(spec, thw, thw_f):
+            # stride-(2,1,1) skips: fused T-interp emitting the decoder
+            # kernel's lane-padded token-major skip_in directly (kills the
+            # XLA resize's relayout/pad pipeline — see kernels/upsample.py)
+            skip = kup.t2_upsample_padded(x, thw)
+        else:
+            skip, _ = upsample_tokens_trilinear(x, thw, spec.stride_q)
     else:
         skip = x
     return kb.fused_decoder_block(q6, skip, k, v, p, spec, thw_f)

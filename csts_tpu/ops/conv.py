@@ -20,6 +20,7 @@ Numerical-parity notes (validated against torch CPU in tests/test_ops_parity.py)
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -130,9 +131,84 @@ def depthwise_conv3d(
     one-step-per-batch Pallas kernel for the small stage-2/3 K/V pool grids
     measured NEUTRAL where it fit (kv-pool b4 1.08 vs 1.10 ms; the ~1 ms cost is
     the surrounding head-layout relayouts, not the conv) and OOM'd at C=768.
-    JAX differentiates the grouped formulation directly.
+    TRAINING (round 4): JAX's stock transpose of the grouped formulation is
+    catastrophic on this chip — the train-step per-op profile (batch 16,
+    tools/profile_forward.py --train) showed the kv-pool convs' backward
+    family at ~90x the eval forward's per-clip cost (stage-3 768-dim
+    stride-1 pools: 23.7 ms each at 3.2 GB/s, f32 batch-minor outputs;
+    convolution fusions = 295-320 of the 417 ms step). ``DW_CUSTOM_VJP``
+    routes gradients through hand-picked formulations instead: input-grad as
+    the subpixel transposed depthwise conv (the decoder q-upsample lowering
+    below), weight-grad as 27 strided-slice multiply-reduce taps that stream
+    at the XLA elementwise rate (tools/ab_dwconv.py is the on-chip A/B).
     """
+    if DW_CUSTOM_VJP:
+        return depthwise_conv3d_cv(
+            w, x, tuple(int(s) for s in stride), tuple(int(p) for p in padding)
+        )
     return _depthwise_conv3d_xla(w, x, stride, padding)
+
+
+# Route depthwise_conv3d gradients through the custom VJP below. Default ON
+# after the on-chip A/B (tools/ab_dwconv.py); flip for measurement only.
+DW_CUSTOM_VJP = True
+
+
+def _depthwise_weight_grad(wshape, x, g, stride, padding):
+    """Weight-grad of the depthwise conv as kT·kH·kW strided-slice
+    multiply-reduces (one per tap), accumulated in fp32.
+
+    Stock autodiff emits a batch_group_count conv whose TPU lowering ran at
+    ~22 GB/s in the train profile; each tap here is a plain elementwise
+    multiply + full reduce that XLA streams at the elementwise rate."""
+    kt, kh, kw, _, c = (int(v) for v in wshape)
+    st, sh, sw = (int(s) for s in stride)
+    b = x.shape[0]
+    to, ho, wo = g.shape[1:4]
+    xp = jnp.pad(x, [(0, 0)] + [(int(p), int(p)) for p in padding] + [(0, 0)])
+    g32 = g.astype(jnp.float32)
+    taps = []
+    for dt in range(kt):
+        for dh in range(kh):
+            for dw_ in range(kw):
+                xs = lax.slice(
+                    xp,
+                    (0, dt, dh, dw_, 0),
+                    (b, dt + (to - 1) * st + 1, dh + (ho - 1) * sh + 1,
+                     dw_ + (wo - 1) * sw + 1, c),
+                    (1, st, sh, sw, 1),
+                )
+                taps.append(jnp.sum(xs.astype(jnp.float32) * g32, axis=(0, 1, 2, 3)))
+    return jnp.stack(taps).reshape(kt, kh, kw, 1, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def depthwise_conv3d_cv(w, x, stride, padding):
+    """depthwise_conv3d with hand-picked gradient lowerings (see its docstring).
+    ``stride``/``padding`` must be tuples (static)."""
+    return _depthwise_conv3d_xla(w, x, stride, padding)
+
+
+def _dw_cv_fwd(w, x, stride, padding):
+    return _depthwise_conv3d_xla(w, x, stride, padding), (w, x)
+
+
+def _dw_cv_bwd(stride, padding, res, g):
+    w, x = res
+    g = g.astype(x.dtype)
+    k = tuple(int(v) for v in w.shape[:3])
+    # output_padding that makes the transposed conv recover x's spatial shape
+    op = tuple(
+        int(x.shape[1 + d])
+        - ((int(g.shape[1 + d]) - 1) * stride[d] - 2 * padding[d] + k[d])
+        for d in range(3)
+    )
+    dx = _depthwise_conv_transpose3d_xla(w, g, stride, padding, op)
+    dw = _depthwise_weight_grad(w.shape, x, g, stride, padding).astype(w.dtype)
+    return dw, dx.astype(x.dtype)
+
+
+depthwise_conv3d_cv.defvjp(_dw_cv_fwd, _dw_cv_bwd)
 
 
 def _transpose_phase_plan(k: int, s: int, p: int, op: int, l: int):

@@ -12,6 +12,7 @@ both directions, so the tool keeps working after a flag defaults to True).
 Known flags (module attribute registry below):
   head_commute  — classify the stem skip BEFORE its T-resize (models/csts.py)
   split_resize  — sequential single-axis trilinear resizes, T first (ops/resize.py)
+  t2_skip       — fused Pallas T×2 decoder-skip upsample (kernels/upsample.py)
 
 Usage:
   python tools/ab_flags.py [--batch 128] [--iters 20] \
@@ -37,12 +38,14 @@ import jax.numpy as jnp
 
 
 def flag_registry():
+    from csts_tpu.kernels import upsample as upsample_mod
     from csts_tpu.models import csts as csts_lib
     from csts_tpu.ops import resize as resize_mod
 
     return {
         "head_commute": (csts_lib, "HEAD_COMMUTE"),
         "split_resize": (resize_mod, "SPLIT_AXES_T_FIRST"),
+        "t2_skip": (upsample_mod, "T2_SKIP_KERNEL"),
     }
 
 

@@ -12,7 +12,17 @@ truth for where batch-128 forward time goes — the five conv-lowering experimen
 Usage:
   python tools/profile_forward.py [--batch 128] [--iters 3] [--top 40]
       [--out PROFILE.json] [--trace-dir /tmp/csts_prof]
+      [--train] [--kernels on|off|default]
 Run on the TPU host to natural exit; never kill (TPU claim wedges).
+
+``--train`` traces the FULL jitted train step instead (kldiv+egonce forward +
+backward + AdamW update, same construction as tools/ab_train.py / the real
+trainer), at --batch (use 16, the measured train knee). The train step donates
+state, so the traced iterations chain through real state updates exactly like
+training. ``--kernels off`` forces the composite path (the training
+configuration of record; the default leaves module defaults = fused tail on
+TPU). Round-4 purpose: the train path has never had the profile-first
+treatment that took eval 121->211 clips/s — this is VERDICT task 3's tool.
 """
 
 from __future__ import annotations
@@ -134,6 +144,10 @@ def main():
     ap.add_argument("--diff", nargs=2, default=None, metavar=("OLD.json", "NEW.json"),
                     help="offline: compare two --out dumps (no TPU run) — "
                          "category deltas + top per-op movers")
+    ap.add_argument("--train", action="store_true",
+                    help="trace the full train step (fwd+bwd+AdamW) instead")
+    ap.add_argument("--kernels", choices=("default", "on", "off"), default="default",
+                    help="force the Pallas kernel switch for the traced program")
     args = ap.parse_args()
 
     if args.diff:
@@ -141,48 +155,85 @@ def main():
         return
 
     from __graft_entry__ import _flagship_cfg
+    from csts_tpu.kernels import attention as ka_mod
     from csts_tpu.models import csts as csts_lib
     from csts_tpu.train import losses
 
+    if args.kernels != "default":
+        ka_mod.set_enabled(args.kernels == "on")
+
     cfg = _flagship_cfg()
     cfg.TRAIN.MIXED_PRECISION = True
+    cfg.TRAIN.BATCH_SIZE = args.batch
     spec = csts_lib.build_spec(cfg)
-    params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
-    params = jax.tree_util.tree_map(
-        lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
-    )
 
-    @jax.jit
-    def step(params, video, audio):
-        logits = csts_lib.csts_apply(params, spec, video, audio, deterministic=True)
-        return losses.frame_softmax(logits, temperature=2.0)
+    if args.train:
+        from csts_tpu.train import step as step_lib
 
-    @jax.jit
-    def make_inputs(key):
-        kv, ka = jax.random.split(key)
-        video = jax.random.normal(kv, (args.batch, 8, 256, 256, 3), jnp.bfloat16)
-        audio = jax.random.normal(ka, (args.batch, 8, 256, 256, 1), jnp.bfloat16)
-        return video, audio
+        state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(1))
+        train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch=100)
 
-    video, audio = make_inputs(jax.random.PRNGKey(0))
+        @jax.jit
+        def make_batch(key):
+            kv, ka_, kl = jax.random.split(key, 3)
+            hm = jax.nn.softmax(
+                jax.random.normal(kl, (args.batch, 8, 64 * 64), jnp.float32), axis=-1
+            ).reshape(args.batch, 8, 64, 64)
+            return {
+                "video": jax.random.normal(kv, (args.batch, 8, 256, 256, 3), jnp.bfloat16),
+                "audio": jax.random.normal(ka_, (args.batch, 8, 256, 256, 1), jnp.bfloat16),
+                "labels_hm": hm,
+            }
 
-    def sync(x):
-        return float(jnp.sum(x[0, 0, 0, 0]))
+        batch = make_batch(jax.random.PRNGKey(0))
+        rng = jax.random.PRNGKey(2)
+        state, stats, _ = train_step(state, batch, rng)  # compile outside the trace
+        float(stats["loss"])
 
-    sync(step(params, video, audio))  # compile outside the trace
+        jax.profiler.start_trace(args.trace_dir)
+        for _ in range(args.iters):
+            state, stats, _ = train_step(state, batch, rng)
+        float(stats["loss"])
+        jax.profiler.stop_trace()
+    else:
+        params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+        params = jax.tree_util.tree_map(
+            lambda a: a.astype(jnp.bfloat16) if a.dtype == jnp.float32 else a, params
+        )
 
-    jax.profiler.start_trace(args.trace_dir)
-    out = None
-    for _ in range(args.iters):
-        out = step(params, video, audio)
-    sync(out)
-    jax.profiler.stop_trace()
+        @jax.jit
+        def step(params, video, audio):
+            logits = csts_lib.csts_apply(params, spec, video, audio, deterministic=True)
+            return losses.frame_softmax(logits, temperature=2.0)
+
+        @jax.jit
+        def make_inputs(key):
+            kv, ka = jax.random.split(key)
+            video = jax.random.normal(kv, (args.batch, 8, 256, 256, 3), jnp.bfloat16)
+            audio = jax.random.normal(ka, (args.batch, 8, 256, 256, 1), jnp.bfloat16)
+            return video, audio
+
+        video, audio = make_inputs(jax.random.PRNGKey(0))
+
+        def sync(x):
+            return float(jnp.sum(x[0, 0, 0, 0]))
+
+        sync(step(params, video, audio))  # compile outside the trace
+
+        jax.profiler.start_trace(args.trace_dir)
+        out = None
+        for _ in range(args.iters):
+            out = step(params, video, audio)
+        sync(out)
+        jax.profiler.stop_trace()
 
     events = collect_trace(args.trace_dir)
     rows, cats = aggregate(events, args.iters)
     total_us = sum(r["us_per_iter"] for r in rows)
+    mode = ("train step" if args.train else "forward") + (
+        "" if args.kernels == "default" else f", kernels {args.kernels}")
     print(f"device op time {total_us/1000:.1f} ms/iter over {len(rows)} distinct ops "
-          f"(batch {args.batch}, {args.iters} iters)", flush=True)
+          f"({mode}, batch {args.batch}, {args.iters} iters)", flush=True)
     print("-- by category (ms/iter) --")
     for cat, us in cats.items():
         print(f"  {cat:32s} {us/1000:8.2f}")
@@ -209,6 +260,7 @@ def main():
     if args.out:
         with open(args.out, "w") as f:
             json.dump({"batch": args.batch, "iters": args.iters,
+                       "train": args.train, "kernels": args.kernels,
                        "total_us_per_iter": total_us, "categories": cats,
                        "ops": rows}, f, indent=1)
         print(f"wrote {args.out}")
