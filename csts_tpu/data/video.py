@@ -6,7 +6,12 @@ host but makes the backend pluggable, because at TPU step rates mp4 software dec
 the input bottleneck (SURVEY §7 hard-part 5):
 
 * ``pyav``  — PTS-seek selective decode, frame-index parity with the reference
-              (available only when the ``av`` package is installed);
+              (available only when the ``av`` package is installed; this
+              harness image has no ``av`` wheel and zero egress — a round-4
+              ``pip install av`` attempt failed on the network boundary, so
+              the PyAV leg itself has never executed here. Its index math is
+              parity-tested against ``sampling.py`` and the container
+              round-trip runs via the OpenCV backend instead);
 * ``ffmpeg`` — subprocess rawvideo pipe (available when an ffmpeg binary exists);
 * ``opencv`` — cv2.VideoCapture frame-position seek (available when OpenCV was
               built with video IO) — the fallback container path on hosts

@@ -36,13 +36,22 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# On-chip A/B via tools/ab_flags.py ('t2_skip'). Default ON pending the
-# measured full-forward delta; the composite XLA resize path remains the
-# fallback whenever eligibility fails (and always off-TPU / in training).
+# On-chip A/B via tools/ab_flags.py ('t2_skip'). Default ON: 607.4 → 582.8
+# ms/step at batch 128 (210.7 → 219.6 clips/s); the composite XLA resize path
+# remains the fallback whenever eligibility fails (and always off-TPU / in
+# training).
 T2_SKIP_KERNEL = True
+
+# The HW×2 variant (d2/d3 stride-(1,2,2) skips) gets its own flag: measured
+# on-chip as a LOSS on top of t2_skip (588.4 vs 582.8 ms/step at batch 128 —
+# the d2/d3 XLA resize pipeline it replaces was only ~8.4 ms and mostly
+# already fused, while the kernel adds grid-step overhead at fine spatial
+# scale). Default OFF; kept for measurement (tools/ab_flags.py 'hw2_skip').
+HW2_SKIP_KERNEL = False
 
 # double-buffered (in + out) blocks must fit the 16 MB VMEM stack with slack
 _VMEM_BUDGET = 12 * 2 ** 20
@@ -86,6 +95,79 @@ def eligible(spec, thw, thw_f) -> bool:
         return False
     cp = -(-spec.dim // 128) * 128
     return _tile_for(h * w, t_c, cp) > 0
+
+
+def _hw2_kernel(x_ref, o_ref):
+    """One (batch, T-plane) grid step: whole coarse plane resident, separable
+    half-pixel ×2 interp on H then W in VMEM (the XLA phase-interp that lost
+    as materialized HBM intermediates is free here), interleave via
+    stack+reshape (strided writes lower as unsupported gathers on TPU)."""
+    f32 = jnp.float32
+
+    def up_axis(a, axis):
+        # even = 0.25·prev + 0.75·a ; odd = 0.75·a + 0.25·next (edge-clamped)
+        first = lax.slice_in_dim(a, 0, 1, axis=axis)
+        last = lax.slice_in_dim(a, a.shape[axis] - 1, a.shape[axis], axis=axis)
+        prev = jnp.concatenate(
+            [first, lax.slice_in_dim(a, 0, a.shape[axis] - 1, axis=axis)], axis)
+        nxt = jnp.concatenate(
+            [lax.slice_in_dim(a, 1, a.shape[axis], axis=axis), last], axis)
+        a32 = a.astype(f32)
+        even = 0.25 * prev.astype(f32) + 0.75 * a32
+        odd = 0.75 * a32 + 0.25 * nxt.astype(f32)
+        inter = jnp.stack([even, odd], axis=axis + 1).astype(a.dtype)
+        shape = list(a.shape)
+        shape[axis] *= 2
+        return inter.reshape(shape)
+
+    plane = x_ref[0, 0]  # (Hc, Wc, C)
+    xh = up_axis(plane, 0)  # (2Hc, Wc, C) bf16 — H-pass temps are coarse-sized
+    # W pass in static row chunks so the fp32 temporaries stay ~1 MB (the
+    # whole-(2Hc)-plane W pass measured over the 16 MB VMEM budget on paper)
+    n = 4 if xh.shape[0] % 4 == 0 else 1
+    step = xh.shape[0] // n
+    for i in range(n):
+        o_ref[0, 0, i * step:(i + 1) * step] = up_axis(
+            xh[i * step:(i + 1) * step], 1)
+
+
+def hw2_eligible(spec, thw, thw_f) -> bool:
+    """stride-(1,2,2) decoder skips (d2/d3): whole-plane blocks, lane-aligned
+    dims only (384/768 — both flagship decoder H/W blocks qualify)."""
+    if not getattr(spec, "skip_upsample_on", True):
+        return False
+    if tuple(int(s) for s in spec.stride_q) != (1, 2, 2):
+        return False
+    t_c, h, w = (int(v) for v in thw)
+    if tuple(int(v) for v in thw_f) != (t_c, 2 * h, 2 * w):
+        return False
+    c = int(spec.dim)
+    if c % 128:
+        return False  # in-plane lane dim must be 128-aligned (no pad fusion here)
+    # whole coarse + fine plane double-buffered, plus ~4 coarse-plane-sized
+    # fp32 temporaries for the H pass (the W pass is row-chunked in-kernel)
+    if (2 * (h * w + 4 * h * w) * c * 2 + 4 * h * w * c * 4) > 15 * 2 ** 20:
+        return False
+    return h >= 8 and w >= 8
+
+
+def hw2_upsample(x: jax.Array, thw, interpret: bool = False) -> jax.Array:
+    """``x``: (B, L_c, C) tokens on (T, H, W) → (B, T·2H·2W, C) trilinear
+    (1,2,2) upsample, bit-parity with jax.image.resize separable lowering."""
+    b, l, c = x.shape
+    t_c, h, w = (int(v) for v in thw)
+    xg = x.reshape(b, t_c, h, w, c)
+    out = pl.pallas_call(
+        _hw2_kernel,
+        grid=(b, t_c),
+        in_specs=[pl.BlockSpec((1, 1, h, w, c), lambda i, t: (i, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 1, 2 * h, 2 * w, c), lambda i, t: (i, t, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, t_c, 2 * h, 2 * w, c), x.dtype),
+        interpret=interpret,
+    )(xg)
+    return out.reshape(b, t_c * 4 * h * w, c)
 
 
 def t2_upsample_padded(x: jax.Array, thw, interpret: bool = False) -> jax.Array:

@@ -785,6 +785,9 @@ def _decoder_kernel_forward(x, p, spec, thw, thw_f):
             # kernel's lane-padded token-major skip_in directly (kills the
             # XLA resize's relayout/pad pipeline — see kernels/upsample.py)
             skip = kup.t2_upsample_padded(x, thw)
+        elif kup.HW2_SKIP_KERNEL and kup.hw2_eligible(spec, thw, thw_f):
+            # stride-(1,2,2) skips (d2/d3): whole-plane in-VMEM separable interp
+            skip = kup.hw2_upsample(x, thw)
         else:
             skip, _ = upsample_tokens_trilinear(x, thw, spec.stride_q)
     else:

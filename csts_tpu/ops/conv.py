@@ -136,22 +136,51 @@ def depthwise_conv3d(
     tools/profile_forward.py --train) showed the kv-pool convs' backward
     family at ~90x the eval forward's per-clip cost (stage-3 768-dim
     stride-1 pools: 23.7 ms each at 3.2 GB/s, f32 batch-minor outputs;
-    convolution fusions = 295-320 of the 417 ms step). ``DW_CUSTOM_VJP``
-    routes gradients through hand-picked formulations instead: input-grad as
-    the subpixel transposed depthwise conv (the decoder q-upsample lowering
-    below), weight-grad as 27 strided-slice multiply-reduce taps that stream
-    at the XLA elementwise rate (tools/ab_dwconv.py is the on-chip A/B).
+    convolution fusions = 295-320 of the 417 ms step). Per-op train profiles
+    pinned the pathology on XLA layout assignment, NOT the gradient
+    formulation: the FORWARD pool convs inside the train graph emit f32
+    batch-in-sublanes {4,0,3,2,1} outputs (9.95 ms each vs ~0.7 ms for the
+    same conv in the eval graph), every grad lowering is fine in isolation
+    (tools/ab_dwconv.py), and ``DW_CUSTOM_VJP`` (subpixel-transposed-conv dx,
+    stock dw — the 27-tap strided-reduce dw variant measured slower and its
+    padded-x temporary OOM'd train batch 16) measured neutral end to end.
+    ``DW_BARRIER`` is the layout fix under test instead.
     """
     if DW_CUSTOM_VJP:
-        return depthwise_conv3d_cv(
+        y = depthwise_conv3d_cv(
             w, x, tuple(int(s) for s in stride), tuple(int(p) for p in padding)
         )
-    return _depthwise_conv3d_xla(w, x, stride, padding)
+    else:
+        y = _depthwise_conv3d_xla(w, x, stride, padding)
+    if DW_BARRIER:
+        y = lax.optimization_barrier(y)
+    return y
 
 
-# Route depthwise_conv3d gradients through the custom VJP below. Default ON
-# after the on-chip A/B (tools/ab_dwconv.py); flip for measurement only.
-DW_CUSTOM_VJP = True
+# Route depthwise_conv3d gradients through the custom VJP below (dev flag;
+# measured NEUTRAL-to-slightly-worse in the train-step per-op profile —
+# total 235.5 stock vs 238.0 custom ms at batch 8, conv fusions 184.38 vs
+# 184.31, the pathological ops identical under both formulations — because
+# the poisoned layout hits the FORWARD pool convs inside the train graph,
+# not the gradient formulation; see DW_BARRIER). Stock autodiff is the
+# configuration of record; the machinery stays for measurement
+# (tools/ab_dwconv.py, tools/ab_train.py --dwvjp-ab).
+DW_CUSTOM_VJP = False
+
+# Layout-poisoning experiment: the train-step profile shows the SAME kv-pool
+# convs that stream fine in the eval graph emitting f32 batch-in-sublanes
+# {4,0,3,2,1} outputs inside the train graph (9.95 ms vs ~0.7 ms at batch 8,
+# 3.8 GB/s) — XLA layout assignment serves a backward consumer at the conv's
+# expense. DW_BARRIER puts an optimization_barrier on the conv output (and on
+# dx in the custom VJP) so the conv keeps its natural layout and the consumer
+# pays an explicit relayout copy (~550 GB/s class) instead. Measured on-chip
+# (profile_forward --train, batch 8): 235.5 -> 131.2 ms/iter device-op (-44%),
+# conv fusions 184.4 -> 78.5, no offsetting copy growth. Default OFF for eval
+# graphs (their conv fusions are healthy); make_train_step turns it on at
+# trace time unless DW_BARRIER_TRAIN_AUTO is cleared (measurement tools clear
+# it to A/B the poisoned configuration).
+DW_BARRIER = False
+DW_BARRIER_TRAIN_AUTO = True
 
 
 def _depthwise_weight_grad(wshape, x, g, stride, padding):
@@ -203,9 +232,20 @@ def _dw_cv_bwd(stride, padding, res, g):
         - ((int(g.shape[1 + d]) - 1) * stride[d] - 2 * padding[d] + k[d])
         for d in range(3)
     )
+    # dx: the subpixel transposed-conv lowering in the activation dtype. The
+    # bad in-train lowering is context, not formulation (the isolated stock
+    # grad is fine — tools/ab_dwconv.py): the train consumers force an f32
+    # batch-minor output layout onto the stock dx conv, which then runs at
+    # 3.2 GB/s. The subpixel phase convs emit default-layout bf16.
     dx = _depthwise_conv_transpose3d_xla(w, g, stride, padding, op)
-    dw = _depthwise_weight_grad(w.shape, x, g, stride, padding).astype(w.dtype)
-    return dw, dx.astype(x.dtype)
+    # dw: stock transpose-rule formulation (the 27-tap strided-reduce variant
+    # measured slower AND its padded-x temporary OOM'd HBM at train batch 16)
+    _, pull = jax.vjp(lambda w_: _depthwise_conv3d_xla(w_, x, stride, padding), w)
+    dw, = pull(g)
+    dx = dx.astype(x.dtype)
+    if DW_BARRIER:
+        dx = lax.optimization_barrier(dx)
+    return dw.astype(w.dtype), dx
 
 
 depthwise_conv3d_cv.defvjp(_dw_cv_fwd, _dw_cv_bwd)

@@ -80,6 +80,19 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: in
     loss_name = cfg.MODEL.LOSS_FUNC
     use_nce = "nce" in loss_name
 
+    # Training-only layout fix: inside the train graph XLA layout assignment
+    # poisons the depthwise kv-pool convs (f32 batch-in-sublanes outputs, 9.95
+    # vs ~0.7 ms each at batch 8); an optimization_barrier on the conv output
+    # restores the natural layout. On-chip per-op profile: 235.5 -> 131.2
+    # ms/iter device-op at batch 8 (-44%). Module-level like the kernel gates
+    # (kernels/attention.py set_enabled): the flag is read when the jitted
+    # step TRACES, so setting it here covers this step's first call; eval-only
+    # processes (bench.py, serving) never import it ON.
+    from csts_tpu.ops import conv as conv_mod
+
+    if conv_mod.DW_BARRIER_TRAIN_AUTO:
+        conv_mod.DW_BARRIER = True
+
     def main_loss(logits, preds, labels_hm):
         """The non-NCE term, dispatched identically in the single-step and
         grad-accum paths (kldiv+egonce is assembled here, not in the registry —

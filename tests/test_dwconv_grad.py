@@ -51,14 +51,38 @@ def test_custom_vjp_matches_autodiff(t, h, w, c, stride):
                                atol=1e-3, rtol=1e-4)
 
 
-def test_flagged_path_forward_identical():
-    """depthwise_conv3d (flag ON) and the raw XLA op agree in the forward."""
+def test_flagged_path_forward_identical(monkeypatch):
+    """depthwise_conv3d (flag ON) and the raw XLA op agree in the forward,
+    with and without the layout barrier."""
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 4, 8, 8, 16), jnp.float32)
     wgt = jax.random.normal(jax.random.PRNGKey(2), (3, 3, 3, 1, 16), jnp.float32)
-    assert conv_mod.DW_CUSTOM_VJP
-    got = conv_mod.depthwise_conv3d(wgt, x, (1, 2, 2), (1, 1, 1))
     want = conv_mod._depthwise_conv3d_xla(wgt, x, (1, 2, 2), (1, 1, 1))
-    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for barrier in (False, True):
+        monkeypatch.setattr(conv_mod, "DW_CUSTOM_VJP", True)
+        monkeypatch.setattr(conv_mod, "DW_BARRIER", barrier)
+        got = conv_mod.depthwise_conv3d(wgt, x, (1, 2, 2), (1, 1, 1))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+@pytest.mark.parametrize("custom_vjp", [False, True])
+def test_barrier_grads_match_unbarriered(monkeypatch, custom_vjp):
+    """DW_BARRIER is numerically a no-op: grads through depthwise_conv3d with
+    the layout barrier match the unbarriered path on both VJP routes."""
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 4, 8, 8, 16), jnp.float32)
+    wgt = jax.random.normal(jax.random.PRNGKey(4), (3, 3, 3, 1, 16), jnp.float32)
+
+    def loss(w_, x_):
+        return jnp.sum(
+            jnp.sin(conv_mod.depthwise_conv3d(w_, x_, (1, 2, 2), (1, 1, 1))))
+
+    monkeypatch.setattr(conv_mod, "DW_CUSTOM_VJP", custom_vjp)
+    monkeypatch.setattr(conv_mod, "DW_BARRIER", False)
+    ref = jax.grad(loss, argnums=(0, 1))(wgt, x)
+    monkeypatch.setattr(conv_mod, "DW_BARRIER", True)
+    got = jax.grad(loss, argnums=(0, 1))(wgt, x)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-5)
 
 
 def test_custom_vjp_bf16_cotangent_dtype():

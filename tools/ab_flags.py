@@ -46,6 +46,7 @@ def flag_registry():
         "head_commute": (csts_lib, "HEAD_COMMUTE"),
         "split_resize": (resize_mod, "SPLIT_AXES_T_FIRST"),
         "t2_skip": (upsample_mod, "T2_SKIP_KERNEL"),
+        "hw2_skip": (upsample_mod, "HW2_SKIP_KERNEL"),
     }
 
 

@@ -36,6 +36,13 @@ def main():
                          "(one process; overrides --configs). An 'r' suffix "
                          "turns on MODEL.ACT_CHECKPOINT (encoder remat), "
                          "e.g. '--batches 16 32r'")
+    ap.add_argument("--dwvjp-ab", action="store_true",
+                    help="A/B ops.conv.DW_CUSTOM_VJP off/on on the composite "
+                         "config at --batch, one process (overrides --configs)")
+    ap.add_argument("--barrier-ab", action="store_true",
+                    help="A/B ops.conv.DW_BARRIER off/on (the depthwise-conv "
+                         "layout fix) on the composite config at --batch, one "
+                         "process (overrides --configs)")
     args = ap.parse_args()
 
     from __graft_entry__ import _flagship_cfg
@@ -116,6 +123,30 @@ def main():
         dt = (time.perf_counter() - t0) / args.iters
         print(f"{tag}: {dt*1000:.1f} ms/step  ({B/dt:.1f} clips/s)", flush=True)
         return dt
+
+    if args.dwvjp_ab:
+        from csts_tpu.ops import conv as conv_mod
+
+        ka.set_enabled(False)
+        conv_mod.DW_BARRIER_TRAIN_AUTO = False
+        conv_mod.DW_CUSTOM_VJP = False
+        off = run("dwvjp OFF (stock autodiff)      ")
+        conv_mod.DW_CUSTOM_VJP = True
+        on = run("dwvjp ON  (custom dx lowering)  ")
+        print(f"dwvjp on vs off: {off/on:.3f}x", flush=True)
+        return
+
+    if args.barrier_ab:
+        from csts_tpu.ops import conv as conv_mod
+
+        ka.set_enabled(False)
+        conv_mod.DW_BARRIER_TRAIN_AUTO = False
+        conv_mod.DW_BARRIER = False
+        off = run("barrier OFF (poisoned layouts)  ")
+        conv_mod.DW_BARRIER = True
+        on = run("barrier ON  (dw-conv layout fix)")
+        print(f"barrier on vs off: {off/on:.3f}x", flush=True)
+        return
 
     res = {}
     if "A" in args.configs:

@@ -152,6 +152,43 @@ def main():
         )(x)
         return lax.optimization_barrier(y)[0]
 
+    # ROUND-4 FOLLOW-UP: the fused t2-skip kernel (kernels/upsample.py) streams
+    # at ~650 GB/s in the full-model profile — 2.4x the "engine cap" above —
+    # with (1, 1, H, W, C) plane blocks on a 5-D array and a 2-D grid. These
+    # variants re-measure the plain copy in that geometry to find what the
+    # 270 GB/s number was actually a property of: lane width (16384 vs 256),
+    # block rank (2-D rows vs 5-D planes), or grid rank (1-D vs 2-D).
+    def pallas_auto_5d(x):
+        c, hw = 256, (8 if INTERP else 32)
+        plane = hw * hw * c
+        n = x.size // (4 * plane)
+        x5 = x.reshape(n, 4, hw, hw, c)
+        y = pl.pallas_call(
+            copy_kernel,
+            grid=(n, 4),
+            in_specs=[pl.BlockSpec((1, 1, hw, hw, c), lambda i, t: (i, t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((1, 1, hw, hw, c), lambda i, t: (i, t, 0, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x5.shape, x5.dtype),
+            interpret=INTERP,
+        )(x5)
+        return lax.optimization_barrier(y).reshape(x.shape)[0]
+
+    def pallas_auto_narrow(x, tile, lanes):
+        x2 = x.reshape(-1, lanes)
+        y = pl.pallas_call(
+            copy_kernel,
+            grid=(x2.shape[0] // tile,),
+            in_specs=[pl.BlockSpec((tile, lanes), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((tile, lanes), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(x2.shape, x2.dtype),
+            interpret=INTERP,
+        )(x2)
+        return lax.optimization_barrier(y).reshape(x.shape)[0]
+
     def dma_kernel(x_hbm, o_hbm, in_scratch, out_scratch, in_sem, out_sem,
                    *, chunk, slots):
         n = rows // chunk
@@ -237,6 +274,11 @@ def main():
     for tile in tiles:
         bench(f"pallas-auto tile={tile}", lambda x, t=tile: pallas_auto(x, t),
               2 * nbytes)
+    bench("pallas-auto 5d planes (t2-like)", pallas_auto_5d, 2 * nbytes)
+    narrow = ((8, 256),) if INTERP else ((2048, 256), (512, 1024))
+    for tile, lanes in narrow:
+        bench(f"pallas-auto 2d {tile}x{lanes}",
+              lambda x, t=tile, l=lanes: pallas_auto_narrow(x, t, l), 2 * nbytes)
     # Same budget for the manual pipeline: 2 spaces × slots × chunk/32 MB.
     # The first on-chip run's ((64,2)...) sweep all exceeded the 14 MB guard
     # at LANES=16384 and silently skipped — keep every entry ≤ 8.4 MB.

@@ -148,6 +148,10 @@ def main():
                     help="trace the full train step (fwd+bwd+AdamW) instead")
     ap.add_argument("--kernels", choices=("default", "on", "off"), default="default",
                     help="force the Pallas kernel switch for the traced program")
+    ap.add_argument("--dw-vjp", choices=("default", "on", "off"), default="default",
+                    help="force ops.conv.DW_CUSTOM_VJP for the traced program")
+    ap.add_argument("--dw-barrier", choices=("default", "on", "off"), default="default",
+                    help="force ops.conv.DW_BARRIER (layout-poisoning barrier)")
     args = ap.parse_args()
 
     if args.diff:
@@ -161,6 +165,15 @@ def main():
 
     if args.kernels != "default":
         ka_mod.set_enabled(args.kernels == "on")
+    if args.dw_vjp != "default":
+        from csts_tpu.ops import conv as conv_mod
+
+        conv_mod.DW_CUSTOM_VJP = args.dw_vjp == "on"
+    if args.dw_barrier != "default":
+        from csts_tpu.ops import conv as conv_mod
+
+        conv_mod.DW_BARRIER = args.dw_barrier == "on"
+        conv_mod.DW_BARRIER_TRAIN_AUTO = False  # make_train_step must not override
 
     cfg = _flagship_cfg()
     cfg.TRAIN.MIXED_PRECISION = True
