@@ -48,9 +48,14 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--golden", action="store_true",
                     help="use golden-256-seeded converted reference weights")
-    ap.add_argument("--out", default=os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "KERNEL_CERT.json"))
+    ap.add_argument("--out", default=None,
+                    help="output path (default KERNEL_CERT.json, or "
+                         "KERNEL_CERT_GOLDEN.json with --golden)")
     args = ap.parse_args()
+    if args.out is None:
+        name = "KERNEL_CERT_GOLDEN.json" if args.golden else "KERNEL_CERT.json"
+        args.out = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))), name)
 
     from __graft_entry__ import _flagship_cfg
     from csts_tpu.kernels import attention as ka
