@@ -1006,7 +1006,21 @@ DEC_PAIRED_T = True
 # Experiment flag (tools/ab_decoder.py --vol-views): stride-1-T heads-folded
 # decoder blocks keep the whole padded coarse-Q volume resident per batch step
 # (one batch-constant block) instead of nv per-plane views. Numerics identical
-# (parity-tested via the same kernel body); measured on-chip before adoption.
+# (parity-tested via the same kernel body). COMPILE-INFEASIBLE on the current
+# remote toolchain: the full d3 kernel dies in the server-side Mosaic compile
+# (HTTP 500, tpu_compile_helper exit 1, no stderr through the relay) while
+# tools/repro_volviews.py --at-size proves the construct itself compiles and
+# runs at the exact flagship geometry — (1,6,34,34,512) bf16 volume (7.1 MB),
+# grid (B,4,8), 3-et x 4-head dynamic-T window reads, even with a 6 MB VMEM
+# ballast emulating the kernel's resident MLP weights. The tell: those repro
+# compiles take ~10-20 MINUTES each (vs seconds for the static per-plane
+# construct) — dynamic-T indexing into a 5-D VMEM block sends Mosaic compile
+# time superlinear, and at full-kernel complexity (attention + MLP + tail on
+# top of the window builds) the compile helper crashes. Bounded upside anyway
+# (~3-10 ms of d3's 64.7: the per-plane path refetches each coarse plane ~3x
+# at the ~270 GB/s DMA cap). Stays OFF until a server toolchain update; if
+# re-attempting, re-run repro_volviews --at-size first — if its compile times
+# drop to seconds, the pathology is fixed and the full kernel may compile.
 DEC_VOL_VIEWS = False
 
 # Kernel-internals ablation flags (tools/ab_decoder.py --ablate-kernel): members

@@ -302,6 +302,18 @@ def test_decoder_block_training_grads(rng, monkeypatch):
         kb, "fused_decoder_block",
         lambda *a, interpret=False: orig(*a, interpret=True),
     )
+    # the skip-upsample kernels sit on the same path — interpret them too
+    from csts_tpu.kernels import upsample as kup
+
+    orig_t2, orig_hw2 = kup.t2_upsample_padded, kup.hw2_upsample
+    monkeypatch.setattr(
+        kup, "t2_upsample_padded",
+        lambda *a, interpret=False: orig_t2(*a, interpret=True),
+    )
+    monkeypatch.setattr(
+        kup, "hw2_upsample",
+        lambda *a, interpret=False: orig_hw2(*a, interpret=True),
+    )
 
     def loss_fused(x, p):
         return jnp.sum(jnp.square(mvit._decoder_block_ad(x, p, spec, thw, tuple(thw_f))))

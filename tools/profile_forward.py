@@ -67,7 +67,7 @@ def collect_trace(trace_dir: str):
 
 def aggregate(events, iters: int):
     """Group per-op events by (name, category); report per-iteration numbers."""
-    ops = defaultdict(lambda: {"us": 0.0, "count": 0, "bytes": 0})
+    ops = defaultdict(lambda: {"us": 0.0, "count": 0, "bytes": 0, "ln": ""})
     for ev in events:
         a = ev["args"]
         key = (ev["name"], a["hlo_category"])
@@ -75,6 +75,8 @@ def aggregate(events, iters: int):
         d["us"] += float(a["device_duration_ps"]) / 1e6
         d["count"] += 1
         d["bytes"] += int(a.get("bytes_accessed", 0))
+        if not d["ln"]:
+            d["ln"] = a.get("long_name", "")
     rows = []
     for (name, cat), d in ops.items():
         us = d["us"] / iters
@@ -84,6 +86,9 @@ def aggregate(events, iters: int):
             "calls_per_iter": d["count"] // iters,
             "gb_per_iter": round(by / 1e9, 3),
             "gbps": round(by / 1e3 / us, 1) if us > 0 else 0.0,
+            # full HLO text (producer + operand shapes/layouts) so dumped
+            # profiles stay attributable offline without the raw trace
+            "hlo": d["ln"][:400],
         })
     rows.sort(key=lambda r: -r["us_per_iter"])
     cats = defaultdict(float)

@@ -88,36 +88,50 @@ def k_dyn_full(x_ref, o_ref):
     o_ref[0, 0] = win[2:2 + RC, :, 128:256]
 
 
-def run_at_size(name, dyn_t, interpret, B=4):
-    """Exact d3 whole-vol geometry: volume (1,10,18,18,512) bf16 batch-constant,
-    grid (B, t_f=8, tiles=2), 4 heads x 3 ets window reads per step with the
-    shipped pl.ds row slice + static lane slot + column shifts."""
-    TT, HH, WW, CC = 10, 18, 18, 512  # padded coarse volume, 4 heads x 128 lanes
+def run_at_size(name, dyn_t, interpret, B=4, ballast_mb=0):
+    """Exact d3 whole-vol geometry: the flagship d3 padded coarse volume is
+    (1, 6, 34, 34, 512) bf16 = 7.1 MB (coarse (4,32,32), 4 heads x 128 lanes —
+    see pad.209 in the eval profile), batch-constant over grid
+    (B, t_f=4, tiles=8); each step reads 3 ets x 4 heads windows with the
+    shipped pl.ds row slice + static lane slot + column shifts.
+
+    ``ballast_mb`` adds a VMEM scratch of that size to emulate the real
+    kernel's other residents (MLP weights + fp32 hidden tile ~5-6 MB) so a
+    scoped-VMEM overflow reproduces as a compile failure here too."""
+    TT, HH, WW, CC = 6, 34, 34, 512  # padded coarse volume, 4 heads x 128 lanes
+    RCW = 4  # coarse rows per fine tile (r_fine=8, sh=2)
     x = jax.random.normal(jax.random.PRNGKey(0), (B, TT, HH, WW, CC), jnp.bfloat16)
 
-    def kernel(x_ref, o_ref):
-        t = pl.program_id(1) if dyn_t else 3
+    def kernel(x_ref, o_ref, *scratch):
+        t = pl.program_id(1) if dyn_t else 2
         j = pl.program_id(2)
-        c0 = j * 8
-        acc = jnp.zeros((8, 16, 128), jnp.float32)
+        c0 = j * RCW
+        acc = jnp.zeros((RCW, 32, 128), jnp.float32)
         for h in range(4):
             for et in (-1, 0, 1):
-                win = x_ref[0, t + et + 1, pl.ds(c0, 10), :,
+                win = x_ref[0, t + et + 1, pl.ds(c0, RCW + 2), :,
                             h * 128:(h + 1) * 128].astype(jnp.float32)
                 for ew in (-1, 0, 1):
-                    acc = acc + win[:8, 1 + ew:1 + ew + 16, :]
+                    acc = acc + win[:RCW, 1 + ew:1 + ew + 32, :]
+        if scratch:
+            scratch[0][0, :] = acc[0, 0]  # keep the ballast live
         o_ref[0, 0, 0] = acc.reshape(128, 128).astype(jnp.bfloat16)
 
+    scratch_shapes = []
+    if ballast_mb:
+        scratch_shapes = [pltpu.VMEM((ballast_mb * 2 ** 20 // 512, 128),
+                                     jnp.float32)]
     try:
         out = pl.pallas_call(
             kernel,
-            grid=(B, 8, 2),
+            grid=(B, 4, 8),
             in_specs=[pl.BlockSpec((1, TT, HH, WW, CC), lambda i, j, k: (i, 0, 0, 0, 0),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((1, 1, 1, 128, 128),
                                    lambda i, j, k: (i, j, k, 0, 0),
                                    memory_space=pltpu.VMEM),
-            out_shape=jax.ShapeDtypeStruct((B, 8, 2, 128, 128), jnp.bfloat16),
+            out_shape=jax.ShapeDtypeStruct((B, 4, 8, 128, 128), jnp.bfloat16),
+            scratch_shapes=scratch_shapes,
             interpret=interpret,
         )(x)
         print(f"{name:16s} OK   sum={float(jnp.sum(out.astype(jnp.float32))):.3f}",
@@ -143,6 +157,7 @@ def main():
     if args.at_size:
         run_at_size("size-static", False, args.interpret)
         run_at_size("size-dyn-t", True, args.interpret)
+        run_at_size("size-dyn-t+6mb", True, args.interpret, ballast_mb=6)
         return
     run("static", k_static, args.interpret)
     run("dyn-t", k_dyn_t, args.interpret)
