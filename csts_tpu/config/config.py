@@ -256,6 +256,26 @@ class TensorboardConfig:
 
 
 @dataclass
+class ParallelConfig:
+    """Mesh axis sizes beyond data parallelism (``parallel/mesh.py make_mesh``).
+
+    No reference counterpart (its runtime is DDP-only, SURVEY §2.2); the defaults
+    keep the parity data-only mesh. dp is derived:
+    ``NUM_DEVICES / (MODEL * SEQ * PIPE)``.
+    """
+
+    # tensor parallelism (Megatron column/row rules on qkv/proj + MLP matmuls)
+    MODEL: int = 1
+    # context/sequence parallelism over the encoder token axis (seq_constraint)
+    SEQ: int = 1
+    # GPipe pipeline parallelism over the encoder's uniform identity-block run
+    # (parallel/pipeline.py)
+    PIPE: int = 1
+    # microbatches per pipeline round; 0 = pipe size (bubble (S-1)/(M+S-1))
+    PIPE_MICROBATCHES: int = 0
+
+
+@dataclass
 class Config:
     """Root config. Reference: ``defaults.py:569-608`` for the top-level keys."""
 
@@ -269,6 +289,7 @@ class Config:
     DATA_LOADER: DataLoaderConfig = field(default_factory=DataLoaderConfig)
     AUG: AugConfig = field(default_factory=AugConfig)
     TENSORBOARD: TensorboardConfig = field(default_factory=TensorboardConfig)
+    PARALLEL: ParallelConfig = field(default_factory=ParallelConfig)
 
     # NUM_GPUS in the reference; renamed — these are TPU chips in a jax Mesh.
     NUM_DEVICES: int = 1
@@ -286,11 +307,21 @@ class Config:
 
     def finalize(self) -> "Config":
         """Validation + derived values (``assert_and_infer_cfg`` defaults.py:945-970)."""
-        assert self.TRAIN.BATCH_SIZE % max(self.NUM_DEVICES, 1) == 0, (
-            f"TRAIN.BATCH_SIZE {self.TRAIN.BATCH_SIZE} must divide by "
-            f"NUM_DEVICES {self.NUM_DEVICES}"
+        non_dp = self.PARALLEL.MODEL * self.PARALLEL.SEQ * self.PARALLEL.PIPE
+        if self.NUM_DEVICES > 0:
+            assert self.NUM_DEVICES % non_dp == 0, (
+                f"NUM_DEVICES {self.NUM_DEVICES} must divide by "
+                f"PARALLEL.MODEL*SEQ*PIPE = {non_dp}"
+            )
+        # the batch shards over the data axis only, whose size is
+        # NUM_DEVICES / (model*seq*pipe)
+        dp = max(self.NUM_DEVICES, 1) // non_dp if self.NUM_DEVICES > 0 else 1
+        assert self.TRAIN.BATCH_SIZE % max(dp, 1) == 0, (
+            f"TRAIN.BATCH_SIZE {self.TRAIN.BATCH_SIZE} must divide by the "
+            f"data-axis size {dp} (NUM_DEVICES {self.NUM_DEVICES} / "
+            f"PARALLEL axes {non_dp})"
         )
-        assert self.TEST.BATCH_SIZE % max(self.NUM_DEVICES, 1) == 0
+        assert self.TEST.BATCH_SIZE % max(dp, 1) == 0
         assert self.TEST.NUM_SPATIAL_CROPS in (1, 3)
         if self.SOLVER.BASE_LR_SCALE_NUM_SHARDS and self.NUM_SHARDS > 1:
             # Linear LR scaling across shards (defaults.py:963-966).

@@ -31,7 +31,7 @@ def test(cfg: Config) -> dict:
     logger.info(pprint.pformat(cfg.dump()))
 
     spec = csts_lib.build_spec(cfg)
-    mesh = mesh_lib.make_mesh(num_devices=cfg.NUM_DEVICES if cfg.NUM_DEVICES > 0 else None)
+    mesh = mesh_lib.mesh_from_cfg(cfg)
     params = csts_lib.csts_init(jax.random.PRNGKey(cfg.RNG_SEED), spec)
     params = cu.load_test_checkpoint(cfg, params)
     if cfg.TRAIN.MIXED_PRECISION:

@@ -24,6 +24,7 @@ import numpy as np
 from csts_tpu import ops
 from csts_tpu.config import Config
 from csts_tpu.models import mvit
+from csts_tpu.parallel import pipeline as pipeline_lib
 from csts_tpu.parallel.mesh import seq_constraint
 from csts_tpu.models.mvit import AttentionSpec, THW, round_width
 
@@ -471,15 +472,74 @@ def csts_apply(
             fn = jax.checkpoint(fn)
         return fn(block_params, tokens, dp_key), thw_out
 
+    # GPipe pipeline parallelism over uniform identity-block runs (flagship
+    # blocks 4–13: ten d384/4h blocks with one static spec): when the ambient
+    # mesh carries a ``pipe`` axis, stack the run's params + stochastic-depth
+    # (rate, key) streams on a leading block axis and hand it to
+    # parallel/pipeline.py. Stays off whenever capture needs per-block
+    # activations, the run doesn't fill the pipe, or the batch doesn't
+    # microbatch evenly.
+    pipe_S = pipeline_lib.pipe_size() if capture is None else None
+
+    def _pipelined_run_len(lo: int, hi: int) -> int:
+        if (
+            pipe_S is None
+            or pipe_S < 2
+            or x.shape[0] % pipeline_lib.effective_microbatches(pipe_S)
+        ):
+            return 0
+        b0 = spec.video_blocks[lo]
+        if b0.dim != b0.dim_out or b0.pool_q_on or b0.upsample_q:
+            return 0
+        j = lo + 1
+        while j < hi and dataclasses.replace(
+            spec.video_blocks[j], drop_path=b0.drop_path
+        ) == b0:
+            j += 1
+        n = ((j - lo) // pipe_S) * pipe_S
+        return n if n >= 2 else 0
+
+    def _pipelined_blocks(lo: int, n: int, tokens: jax.Array, thw_in: THW):
+        idxs = range(lo, lo + n)
+        bspec = spec.video_blocks[lo]
+        stacked = {
+            "p": jax.tree_util.tree_map(
+                lambda *ls: jnp.stack(ls), *[params["blocks"][k] for k in idxs]
+            ),
+            "key": jnp.stack([dp_keys[k] for k in idxs]),
+            "rate": jnp.asarray(
+                [spec.video_blocks[k].drop_path for k in idxs], jnp.float32
+            ),
+        }
+
+        def apply_one(slot, z):
+            out, _ = mvit.multiscale_block_apply(
+                slot["p"], bspec, z, thw_in,
+                drop_path_key=slot["key"], deterministic=deterministic,
+                drop_path_rate=slot["rate"],
+            )
+            return out
+
+        if spec.remat:
+            apply_one = jax.checkpoint(apply_one)
+        return pipeline_lib.pipeline_blocks(stacked, tokens, apply_one)
+
     # Interleaved encoder groups, capturing the decoder skip features (:384-411).
     inter_feat = [(x, thw)]
     for gi, ((vs, ve), (as_, ae)) in enumerate(zip(spec.video_groups, spec.audio_groups)):
-        for i in range(vs, ve):
+        i = vs
+        while i < ve:
+            n_pipe = _pipelined_run_len(i, ve)
+            if n_pipe:
+                x = seq_constraint(_pipelined_blocks(i, n_pipe, x, thw))
+                i += n_pipe
+                continue
             x, thw = _encoder_block(
                 params["blocks"][i], spec.video_blocks[i], x, thw, dp_keys[i]
             )
             x = seq_constraint(x)
             _cap(f"blocks/{i}", x)
+            i += 1
         if gi < len(spec.video_groups) - 1:
             inter_feat.append((x, thw))
         for i in range(as_, ae):

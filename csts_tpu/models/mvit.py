@@ -613,8 +613,14 @@ def multiscale_block_apply(
     deterministic: bool = True,
     return_attn: bool = False,
     reverse_split: Optional[int] = None,
+    drop_path_rate: Optional[jax.Array] = None,
 ):
     """Pre-LN attention + residual (pooled/upsampled skip) + MLP.
+
+    ``drop_path_rate``, when given, overrides ``spec.drop_path`` with a traced
+    scalar — the pipelined identity-block stack (parallel/pipeline.py) shares
+    one static spec across stacked blocks and threads the per-block stochastic-
+    depth ramp through as data.
 
     Reference quirks replicated exactly:
     * the residual skip is MaxPool3d (encoder, attention.py:234-241) or trilinear
@@ -726,10 +732,11 @@ def multiscale_block_apply(
         else:
             x_res = x
 
+    dp_rate = spec.drop_path if drop_path_rate is None else drop_path_rate
     k1 = k2 = None
     if drop_path_key is not None:
         k1, k2 = jax.random.split(drop_path_key)
-    x = x_res + ops.drop_path(x_block, spec.drop_path, k1, deterministic)
+    x = x_res + ops.drop_path(x_block, dp_rate, k1, deterministic)
 
     # second half of the block — fused LN2+MLP+proj+residual kernel when possible
     if (
@@ -751,8 +758,11 @@ def multiscale_block_apply(
         and mask is None
     ):
         bsz = x.shape[0]
-        if spec.drop_path > 0.0 and k2 is not None:
-            keep = 1.0 - spec.drop_path
+        traced_rate = drop_path_rate is not None
+        if (traced_rate or spec.drop_path > 0.0) and k2 is not None:
+            # with a traced rate the >0 short-circuit can't be static; the
+            # bernoulli(keep=1.0) limit is the same all-ones mask
+            keep = 1.0 - dp_rate
             dp_mask = jax.random.bernoulli(k2, keep, (bsz,)).astype(jnp.float32) / keep
         else:
             dp_mask = jnp.ones((bsz,), jnp.float32)
@@ -765,7 +775,7 @@ def multiscale_block_apply(
     x_mlp = ops.mlp_apply(p["mlp"], x_norm)
     if spec.dim != spec.dim_out:
         x = ops.linear_apply(p["proj"], x_norm)
-    x = x + ops.drop_path(x_mlp, spec.drop_path, k2, deterministic)
+    x = x + ops.drop_path(x_mlp, dp_rate, k2, deterministic)
     if return_attn:
         return x, thw_new, attn
     return x, thw_new

@@ -70,10 +70,15 @@ def mlp_apply(params: dict, x: jax.Array) -> jax.Array:
 
 
 def drop_path(
-    x: jax.Array, rate: float, key: Optional[jax.Array], deterministic: bool
+    x: jax.Array, rate, key: Optional[jax.Array], deterministic: bool
 ) -> jax.Array:
-    """Stochastic depth per sample (``common.py:46-59``). No-op when deterministic."""
-    if deterministic or rate == 0.0:
+    """Stochastic depth per sample (``common.py:46-59``). No-op when deterministic.
+
+    ``rate`` may be a traced scalar (the pipelined block stack passes per-block
+    rates as data because stacked stages share one static spec); the static
+    short-circuit only applies to Python floats.
+    """
+    if deterministic or (isinstance(rate, (int, float)) and rate == 0.0):
         return x
     keep = 1.0 - rate
     shape = (x.shape[0],) + (1,) * (x.ndim - 1)

@@ -29,23 +29,34 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
 SEQ_AXIS = "seq"
+PIPE_AXIS = "pipe"
 
 
 def make_mesh(
     num_devices: Optional[int] = None,
     model_parallel: int = 1,
     seq_parallel: int = 1,
+    pipe_parallel: int = 1,
 ) -> Mesh:
     """1-D data mesh by default; adds a ``model`` axis (tensor parallelism) when
-    ``model_parallel`` > 1 and a ``seq`` axis (context/sequence parallelism over
-    the token dimension — see ``seq_constraint``) when ``seq_parallel`` > 1."""
+    ``model_parallel`` > 1, a ``seq`` axis (context/sequence parallelism over
+    the token dimension — see ``seq_constraint``) when ``seq_parallel`` > 1,
+    and a ``pipe`` axis (GPipe-style pipeline parallelism over the uniform
+    encoder block stack — see ``parallel/pipeline.py``) when
+    ``pipe_parallel`` > 1. ``pipe`` is the outermost non-data axis: pipeline
+    point-to-point traffic is the cheapest collective, so it is the axis that
+    tolerates the slowest links (DCN between slices) best."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
     n = len(devices)
-    assert n % (model_parallel * seq_parallel) == 0, (n, model_parallel, seq_parallel)
-    dp = n // (model_parallel * seq_parallel)
+    denom = model_parallel * seq_parallel * pipe_parallel
+    assert n % denom == 0, (n, model_parallel, seq_parallel, pipe_parallel)
+    dp = n // denom
     shape, axes = [dp], [DATA_AXIS]
+    if pipe_parallel > 1:
+        shape.append(pipe_parallel)
+        axes.append(PIPE_AXIS)
     if seq_parallel > 1:
         shape.append(seq_parallel)
         axes.append(SEQ_AXIS)
@@ -53,6 +64,20 @@ def make_mesh(
         shape.append(model_parallel)
         axes.append(MODEL_AXIS)
     return Mesh(np.asarray(devices).reshape(shape), tuple(axes))
+
+
+def mesh_from_cfg(cfg) -> Mesh:
+    """Build the run's mesh from ``cfg.NUM_DEVICES`` + ``cfg.PARALLEL`` (the
+    trainer/tester entry point; library callers use :func:`make_mesh`)."""
+    from csts_tpu.parallel import pipeline as pipeline_lib
+
+    pipeline_lib.MICROBATCHES = cfg.PARALLEL.PIPE_MICROBATCHES
+    return make_mesh(
+        num_devices=cfg.NUM_DEVICES if cfg.NUM_DEVICES > 0 else None,
+        model_parallel=cfg.PARALLEL.MODEL,
+        seq_parallel=cfg.PARALLEL.SEQ,
+        pipe_parallel=cfg.PARALLEL.PIPE,
+    )
 
 
 def seq_constraint(tokens):

@@ -53,7 +53,7 @@ def train(cfg: Config) -> None:
         jax.config.update("jax_debug_nans", True)
 
     spec = csts_lib.build_spec(cfg)
-    mesh = mesh_lib.make_mesh(num_devices=cfg.NUM_DEVICES if cfg.NUM_DEVICES > 0 else None)
+    mesh = mesh_lib.mesh_from_cfg(cfg)
 
     key = jax.random.PRNGKey(cfg.RNG_SEED)
     state, tx = step_lib.create_train_state(cfg, spec, key)
@@ -82,10 +82,19 @@ def train(cfg: Config) -> None:
     else:
         start_epoch = resume_epoch + 1
     state_shardings = None
-    if cfg.SOLVER.ZERO1:
+    tp_on = cfg.PARALLEL.MODEL > 1
+    if cfg.SOLVER.ZERO1 or tp_on:
+        # ZeRO-1 shards Adam moments over data; tp shards the Megatron matmul
+        # weights over model. Both express as a TrainState of shardings; with
+        # tp but no ZeRO-1 the moments stay replicated (correct, just unsharded
+        # — turn ZERO1 on to shard them too).
         state_shardings = step_lib.TrainState(
-            mesh_lib.param_sharding_rules(mesh, state.params),
-            mesh_lib.opt_state_sharding(mesh, state.opt_state),
+            mesh_lib.param_sharding_rules(mesh, state.params, model_parallel=tp_on),
+            mesh_lib.opt_state_sharding(mesh, state.opt_state)
+            if cfg.SOLVER.ZERO1
+            else jax.tree_util.tree_map(
+                lambda _: mesh_lib.replicated(mesh), state.opt_state
+            ),
             mesh_lib.replicated(mesh),
         )
     train_step = step_lib.make_train_step(
