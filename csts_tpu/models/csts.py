@@ -512,10 +512,13 @@ def csts_apply(
             ),
         }
 
-        def apply_one(slot, z):
+        def apply_one(slot, z, m):
             out, _ = mvit.multiscale_block_apply(
                 slot["p"], bspec, z, thw_in,
-                drop_path_key=slot["key"], deterministic=deterministic,
+                # per-microbatch stream: without the fold every microbatch of a
+                # block would draw the same stochastic-depth mask
+                drop_path_key=jax.random.fold_in(slot["key"], m),
+                deterministic=deterministic,
                 drop_path_rate=slot["rate"],
             )
             return out

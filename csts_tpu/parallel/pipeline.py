@@ -74,9 +74,12 @@ def pipeline_blocks(
 
     ``stacked``: pytree whose every leaf has leading axis L (one slot per
     block) — typically ``{"p": stacked_params, "key": ..., "rate": ...}``.
-    ``x``: (B, ...) activations; ``apply_one(slice_of_stacked, x) -> x`` applies
-    ONE block (must preserve x's shape/dtype). L must divide by the pipe size S
-    and B by the microbatch count M.
+    ``x``: (B, ...) activations; ``apply_one(slice_of_stacked, x, m) -> x``
+    applies ONE block (must preserve x's shape/dtype); ``m`` is the traced
+    microbatch index in [0, M) so per-microbatch RNG streams can be derived
+    (``jax.random.fold_in(key, m)``) — without it every microbatch of a block
+    would draw the same stochastic-depth mask. L must divide by the pipe size
+    S and B by the microbatch count M.
     """
     S = pipe_size()
     assert S is not None, "pipeline_blocks requires an ambient mesh with a 'pipe' axis"
@@ -96,10 +99,10 @@ def pipeline_blocks(
         # each microbatch spans all dp ranks instead of landing on one of them
         xs = jnp.moveaxis(x_full.reshape(B // M, M, *x_full.shape[1:]), 1, 0)
 
-        def stage_fn(z):
+        def stage_fn(z, m):
             for j in range(local_L):
                 z = apply_one(
-                    jax.tree_util.tree_map(lambda p: p[j], stacked_local), z
+                    jax.tree_util.tree_map(lambda p: p[j], stacked_local), z, m
                 )
             return z
 
@@ -115,7 +118,9 @@ def pipeline_blocks(
                 xs, jnp.clip(t, 0, M - 1), 0, keepdims=False
             )
             inp = jnp.where(stage == 0, feed, state)
-            out = stage_fn(inp)
+            # stage s at schedule step t holds microbatch t-s (bubble steps
+            # clip to a valid id; their outputs are never banked)
+            out = stage_fn(inp, jnp.clip(t - stage, 0, M - 1))
             # stage S-1 banks microbatch t-(S-1); other stages re-write an
             # existing slot with its own value (a no-op)
             widx = jnp.clip(t - (S - 1), 0, M - 1)

@@ -62,12 +62,13 @@ def test_pipeline_blocks_matches_sequential_loop():
     x = jax.random.normal(jax.random.PRNGKey(2), (B, 4, D))
     stacked = {"w": Ws, "b": bs}
 
-    def apply_one(slot, z):
+    def apply_one(slot, z, m):
+        del m  # microbatch index (RNG-stream hook) — unused in this block
         return jnp.tanh(z @ slot["w"] + slot["b"])
 
     def ref(s, z):
         for j in range(L):
-            z = apply_one(jax.tree_util.tree_map(lambda p: p[j], s), z)
+            z = apply_one(jax.tree_util.tree_map(lambda p: p[j], s), z, 0)
         return z
 
     mesh = mesh_lib.make_mesh(num_devices=8, pipe_parallel=4)
@@ -79,9 +80,41 @@ def test_pipeline_blocks_matches_sequential_loop():
         g = jax.jit(
             jax.grad(lambda s, z: jnp.sum(pipeline_blocks(s, z, apply_one) ** 2))
         )(stacked, x)
+
+        # M != S lane: the PIPE_MICROBATCHES knob changes the schedule length
+        # (M+S-1 steps) but not the result
+        out_m8 = jax.jit(
+            lambda s, z: pipeline_blocks(s, z, apply_one, microbatches=8)
+        )(stacked, x)
+        np.testing.assert_array_equal(np.asarray(out_m8), np.asarray(ref(stacked, x)))
     g_ref = jax.grad(lambda s, z: jnp.sum(ref(s, z) ** 2))(stacked, x)
     for k in g:
         np.testing.assert_allclose(np.asarray(g[k]), np.asarray(g_ref[k]), atol=1e-5)
+
+
+def test_pipeline_microbatch_index_reaches_apply_one():
+    """The schedule hands apply_one the CORRECT microbatch index m (sample i
+    rides microbatch i % M under the minor-index reshape) — the hook the model
+    uses to decorrelate per-microbatch stochastic-depth streams."""
+    B, M = 8, 4
+    key = jax.random.PRNGKey(5)
+    x = jnp.zeros((B, 4))
+    stacked = {"k": jnp.stack([key] * M)}  # L=4 blocks, one per stage
+
+    def apply_one(slot, z, m):
+        # inject an m-dependent constant; every stage adds it again, so a
+        # wrong m at ANY stage/step changes the output
+        return z + jax.random.normal(jax.random.fold_in(slot["k"], m), ())
+
+    mesh = mesh_lib.make_mesh(num_devices=8, pipe_parallel=4)
+    with jax.sharding.set_mesh(mesh):
+        out = jax.jit(lambda s, z: pipeline_blocks(s, z, apply_one))(stacked, x)
+    per_m = np.asarray(
+        [4.0 * jax.random.normal(jax.random.fold_in(key, m), ()) for m in range(M)]
+    )
+    expect = np.stack([np.full(4, per_m[i % M]) for i in range(B)])
+    np.testing.assert_allclose(np.asarray(out), expect, rtol=1e-6)
+    assert len(np.unique(per_m)) == M  # streams actually differ
 
 
 def _depth6_cfg(droppath):
