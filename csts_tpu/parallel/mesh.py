@@ -63,7 +63,44 @@ def make_mesh(
     if model_parallel > 1:
         shape.append(model_parallel)
         axes.append(MODEL_AXIS)
-    return Mesh(np.asarray(devices).reshape(shape), tuple(axes))
+    return Mesh(_device_grid(devices, shape), tuple(axes))
+
+
+def _device_grid(devices, shape) -> np.ndarray:
+    """Topology-aware layout of ``devices`` onto ``shape``.
+
+    A naive ``reshape`` of ``jax.devices()`` ignores ICI topology and slice
+    boundaries on real TPU pods — e.g. a ``model`` pair could straddle slices
+    and ride DCN. Axis order is [data, pipe, seq, model] (major→minor), so:
+
+    * multi-slice (devices expose distinct ``slice_index``): lay the mesh with
+      ``mesh_utils.create_hybrid_device_mesh`` — slices absorb the leading
+      ``data`` axis (the gradient psum is the latency-tolerant collective;
+      tp/sp/pp stay inside a slice on ICI). Requires dp % num_slices == 0.
+    * single slice: ``mesh_utils.create_device_mesh`` — the minor axes get the
+      tightest ICI rings (model innermost, exactly the bandwidth ranking).
+    * virtual/CPU platforms and partial-topology subsets (``num_devices``
+      trims): plain enumeration-order reshape (on CPU ``create_device_mesh``
+      degenerates to the same thing — tested equivalence keeps the virtual-mesh
+      test semantics unchanged).
+    """
+    if len(devices) == 1:
+        return np.asarray(devices).reshape(shape)
+    slice_ids = {getattr(d, "slice_index", None) for d in devices}
+    try:
+        from jax.experimental import mesh_utils
+
+        if len(slice_ids) > 1 and None not in slice_ids:
+            num_slices = len(slice_ids)
+            if shape[0] % num_slices == 0:
+                dcn = [num_slices] + [1] * (len(shape) - 1)
+                ici = [shape[0] // num_slices] + list(shape[1:])
+                return mesh_utils.create_hybrid_device_mesh(
+                    ici, dcn, devices=devices
+                )
+        return mesh_utils.create_device_mesh(shape, devices=devices)
+    except Exception:
+        return np.asarray(devices).reshape(shape)
 
 
 def mesh_from_cfg(cfg) -> Mesh:

@@ -58,3 +58,28 @@ def test_helpers():
     assert coll.is_master_proc()
     coll.barrier()  # single-process: no-op
     assert coll.gather_objects({"a": 1}) == [{"a": 1}]
+
+
+def test_device_grid_layouts():
+    """_device_grid: CPU/virtual meshes keep enumeration order (test semantics
+    unchanged); objects without topology attributes fall back to plain reshape;
+    multi-axis make_mesh carries the documented [data, pipe, seq, model] order."""
+    devs = jax.devices()
+    grid = mesh_lib._device_grid(devs, [4, 2])
+    assert grid.shape == (4, 2)
+    assert [d.id for d in grid.flat] == [d.id for d in devs]
+
+    class Fake:  # no slice_index / coords -> mesh_utils raises -> reshape path
+        def __init__(self, i):
+            self.id = i
+
+    fakes = [Fake(i) for i in range(8)]
+    fgrid = mesh_lib._device_grid(fakes, [2, 2, 2])
+    assert fgrid.shape == (2, 2, 2)
+    assert [d.id for d in fgrid.flat] == list(range(8))
+
+    mesh = mesh_lib.make_mesh(
+        num_devices=8, model_parallel=2, seq_parallel=2, pipe_parallel=2
+    )
+    assert mesh.axis_names == ("data", "pipe", "seq", "model")
+    assert mesh.devices.shape == (1, 2, 2, 2)

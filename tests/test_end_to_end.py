@@ -530,3 +530,32 @@ LOG_PERIOD: 1
     from csts_tpu.utils import checkpoint as cu
 
     assert cu.has_checkpoint(out_dir)
+
+
+@pytest.mark.slow
+def test_train_and_test_under_parallel_axes(synthetic_root, tmp_path):
+    """Trainer + tester end-to-end under cfg.PARALLEL dp2×pp2×tp2 on the
+    8-device mesh: depth-6 so the encoder's identity run actually pipelines
+    (parallel/pipeline.py), Megatron tp on the matmuls, dp for the batch —
+    the full mesh_from_cfg path the CLI exposes (no reference counterpart;
+    its runtime is DDP-only, SURVEY §2.2)."""
+    from csts_tpu.eval.tester import test as run_test
+    from csts_tpu.train.trainer import train as run_train
+    from csts_tpu.utils import checkpoint as cu
+
+    out = str(tmp_path / "out_pp")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    cfg.MVIT.DEPTH = 6  # blocks 4-5 form the uniform pipelined run
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.NUM_DEVICES = 8
+    cfg.PARALLEL.PIPE = 2
+    cfg.PARALLEL.MODEL = 2
+    cfg.finalize()
+    run_train(cfg)
+    assert cu.has_checkpoint(out)
+
+    stats = run_test(cfg)
+    assert stats["_type"] == "test_final"
+    for k in ("f1", "recall", "precision", "auc", "threshold"):
+        assert np.isfinite(stats[k]), stats
