@@ -61,10 +61,20 @@ class GazeLoader:
         self.process_index = process_index
         self.process_count = process_count
         self._epoch = 0
+        self._start_iter = 0
 
-    def set_epoch(self, epoch: int):
-        """Seeded epoch shuffle (shuffle_dataset, loader.py:112-130)."""
+    def set_epoch(self, epoch: int, start_iter: int = 0):
+        """Seeded epoch shuffle (shuffle_dataset, loader.py:112-130).
+
+        ``start_iter`` resumes the epoch mid-way: iteration skips the first
+        ``start_iter`` batches of the (seed, epoch)-keyed order. Because both
+        the shuffle and every per-sample augmentation RNG are keyed by absolute
+        sample position, the resumed stream is bit-identical to the tail of an
+        uninterrupted epoch — the basis of mid-epoch preemption resume
+        (train/trainer.py), which the reference cannot do (its DataLoader
+        restarts the epoch)."""
         self._epoch = epoch
+        self._start_iter = start_iter
 
     def __len__(self):
         n = len(self.dataset)
@@ -89,7 +99,7 @@ class GazeLoader:
 
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
             pending = []
-            for b in range(n_batches):
+            for b in range(self._start_iter, n_batches):
                 lo = b * self.global_batch_size
                 batch_idx = order[lo : lo + self.global_batch_size]
                 if len(batch_idx) < self.global_batch_size:
@@ -155,15 +165,31 @@ class DevicePrefetcher:
         self._place = place_fn
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
+        self._stop = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
     def _run(self):
         try:
             for item in self._it:
+                if self._stop.is_set():
+                    break
                 self._q.put(self._place(item))
         finally:
             self._q.put(self._done)
+
+    def close(self):
+        """Stop prefetching early (mid-epoch preemption): unblock the producer
+        and join it so abandoned loader thread pools don't keep decoding."""
+        self._stop.set()
+        # keep draining until the producer exits — a single drain could leave it
+        # re-blocked on put() (the in-flight item plus the _done sentinel)
+        while self._thread.is_alive():
+            try:
+                self._q.get(timeout=0.1)
+            except queue.Empty:
+                pass
+        self._thread.join()
 
     def __iter__(self):
         return self

@@ -29,9 +29,17 @@ from csts_tpu.utils.logging import get_logger, setup_logging
 logger = get_logger(__name__)
 
 # Preemption handling (beyond the reference, whose only elasticity is start-over
-# auto-resume — SURVEY §5): SIGTERM/SIGINT set a flag; the epoch loop checkpoints at
-# the next epoch boundary and exits cleanly, so a preempted job resumes losslessly.
+# auto-resume — SURVEY §5): SIGTERM sets a flag; the iteration loop checkpoints
+# *mid-epoch* (iter-tagged npz, utils/checkpoint.py) and exits within one step —
+# sized for preemptible-TPU grace windows. Resume skips into the (seed, epoch)-keyed
+# batch order at the saved iteration, so the replayed stream is bit-identical to an
+# uninterrupted run (the reference's DataLoader can only restart the epoch).
 _PREEMPTED = threading.Event()
+
+# Deterministic fault injection for preemption drills and tests: when set to N,
+# the trainer behaves as if SIGTERM arrived after N iterations of the first
+# trained epoch. None = off.
+_PREEMPT_AFTER_ITERS = None
 
 
 def _install_preemption_handler() -> None:
@@ -77,10 +85,19 @@ def train(cfg: Config) -> None:
         if ckpt_mngr is not None and cfg.TRAIN.AUTO_RESUME
         else None
     )
+    if resume_epoch is not None:
+        # a mid-epoch preemption save (always npz) may be newer than the last
+        # completed orbax epoch — its meta epoch is the last epoch completed at
+        # save time, so ">= resume_epoch" means it happened after that epoch
+        last_npz = cu.get_last_checkpoint(cfg.OUTPUT_DIR)
+        if last_npz is not None:
+            meta = cu.checkpoint_meta(last_npz)
+            if meta.get("iter") and meta["epoch"] >= resume_epoch:
+                resume_epoch = None
     if resume_epoch is None:
-        state, start_epoch = cu.load_train_checkpoint(cfg, state)
+        state, start_epoch, start_iter = cu.load_train_checkpoint(cfg, state)
     else:
-        start_epoch = resume_epoch + 1
+        start_epoch, start_iter = resume_epoch + 1, 0
     state_shardings = None
     tp_on = cfg.PARALLEL.MODEL > 1
     if cfg.SOLVER.ZERO1 or tp_on:
@@ -113,6 +130,7 @@ def train(cfg: Config) -> None:
 
         writer = TensorboardWriter(cfg)
 
+    _PREEMPTED.clear()
     _install_preemption_handler()
     with jax.sharding.set_mesh(mesh):
         state = jax.device_put(
@@ -120,24 +138,31 @@ def train(cfg: Config) -> None:
             else mesh_lib.replicated(mesh))
         if ckpt_mngr is not None and resume_epoch is not None:
             state, _ = ckpt_mngr.restore(state, resume_epoch)
-        logger.info("Start epoch: %d", start_epoch + 1)
+        logger.info("Start epoch: %d (iter %d)", start_epoch + 1, start_iter)
 
         for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
-            if _PREEMPTED.is_set():
-                if ckpt_mngr is not None:
-                    ckpt_mngr.save(state, cur_epoch - 1)
-                    ckpt_mngr.wait()
-                else:
-                    host_state = jax.tree_util.tree_map(np.asarray, state)
-                    cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch - 1, cfg)
-                logger.info("Preemption checkpoint saved; exiting.")
-                return
-            train_loader.set_epoch(cur_epoch)
+            epoch_start_iter = start_iter if cur_epoch == start_epoch else 0
+            train_loader.set_epoch(cur_epoch, start_iter=epoch_start_iter)
             epoch_timer.epoch_tic()
-            state = _train_epoch(
-                train_loader, state, train_step, train_meter, cur_epoch, cfg, mesh, writer
+            state, stopped_at = _train_epoch(
+                train_loader, state, train_step, train_meter, cur_epoch, cfg,
+                mesh, writer, start_iter=epoch_start_iter,
             )
             epoch_timer.epoch_toc()
+            if stopped_at is not None:
+                # mid-epoch preemption: synchronous iter-tagged npz save (under
+                # any backend — the orbax manager keys by completed epochs);
+                # auto-resume continues this epoch at iteration ``stopped_at``.
+                host_state = jax.tree_util.tree_map(np.asarray, state)
+                cu.save_checkpoint(
+                    cfg.OUTPUT_DIR, host_state, cur_epoch - 1, cfg,
+                    iter_idx=stopped_at,
+                )
+                logger.info(
+                    "Preemption checkpoint saved (epoch %d, iter %d); exiting.",
+                    cur_epoch + 1, stopped_at,
+                )
+                break
             logger.info(
                 "Epoch %d takes %.2fs (avg %.2fs/iter).",
                 cur_epoch + 1, epoch_timer.last_epoch_time(),
@@ -153,6 +178,17 @@ def train(cfg: Config) -> None:
                     cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch, cfg)
             if (cur_epoch + 1) % cfg.TRAIN.EVAL_PERIOD == 0:
                 _eval_epoch(val_loader, state, eval_step, val_meter, cur_epoch, cfg, mesh)
+            if _PREEMPTED.is_set():
+                # preemption landed on the epoch's last iteration: exit at the
+                # boundary, making sure this epoch is checkpointed
+                if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD != 0:
+                    if ckpt_mngr is not None:
+                        ckpt_mngr.save(state, cur_epoch)
+                    else:
+                        host_state = jax.tree_util.tree_map(np.asarray, state)
+                        cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch, cfg)
+                logger.info("Preemption checkpoint saved (epoch %d); exiting.", cur_epoch + 1)
+                break
 
     if ckpt_mngr is not None:
         ckpt_mngr.wait()
@@ -162,17 +198,25 @@ def train(cfg: Config) -> None:
     logger.info("Training finished!")
 
 
-def _train_epoch(train_loader, state, train_step, meter, cur_epoch, cfg, mesh, writer=None):
+def _train_epoch(
+    train_loader, state, train_step, meter, cur_epoch, cfg, mesh, writer=None,
+    start_iter=0,
+):
+    """One epoch (resumable mid-way at ``start_iter``). Returns
+    ``(state, stopped_at)`` — ``stopped_at`` is the next iteration to run when
+    the epoch was preempted, else None."""
     meter.iter_tic()
     data_size = len(train_loader)
     base_rng = jax.random.fold_in(jax.random.PRNGKey(cfg.RNG_SEED), cur_epoch)
     dataset_name = cfg.TRAIN.DATASET
+    stopped_at = None
 
     prefetch = loader_lib.DevicePrefetcher(
         iter(train_loader), lambda b: mesh_lib.shard_batch(mesh, b),
         depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
     )
-    for cur_iter, batch in enumerate(prefetch):
+    for offset, batch in enumerate(prefetch):
+        cur_iter = start_iter + offset  # absolute epoch iteration (RNG stream key)
         meter.data_toc()
         rng = jax.random.fold_in(base_rng, cur_iter)
         state, stats, preds = train_step(state, batch, rng)
@@ -208,10 +252,19 @@ def _train_epoch(train_loader, state, train_step, meter, cur_epoch, cfg, mesh, w
         meter.iter_toc()
         meter.log_iter_stats(cur_epoch, cur_iter)
         meter.iter_tic()
+        if _PREEMPT_AFTER_ITERS is not None and offset + 1 >= _PREEMPT_AFTER_ITERS:
+            _PREEMPTED.set()
+        # preemption on the epoch's last iteration is an epoch-boundary exit
+        # (handled by the caller), not a mid-epoch save pointing past the end
+        if _PREEMPTED.is_set() and cur_iter + 1 < data_size:
+            stopped_at = cur_iter + 1
+            prefetch.close()
+            break
 
-    meter.log_epoch_stats(cur_epoch)
+    if stopped_at is None:
+        meter.log_epoch_stats(cur_epoch)
     meter.reset()
-    return state
+    return state, stopped_at
 
 
 def _eval_epoch(val_loader, state, eval_step, meter, cur_epoch, cfg, mesh):

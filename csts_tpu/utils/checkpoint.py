@@ -28,31 +28,50 @@ from csts_tpu.utils.logging import get_logger
 logger = get_logger(__name__)
 
 CHECKPOINT_DIR = "checkpoints"
-_NAME_RE = re.compile(r"checkpoint_epoch_(\d+)\.npz$")
+# Epoch-boundary files are checkpoint_epoch_{completed+1:05d}.npz (reference
+# naming, checkpoint.py:36-46). Mid-epoch preemption saves (beyond the
+# reference — its SIGTERM story is start-the-epoch-over) append _iter_{i:07d},
+# where i = iterations already completed in epoch {completed+1}. The suffix is
+# chosen so a plain lexical sort keeps true recency order:
+# ..._00005.npz < ..._00005_iter_0000012.npz < ..._00006.npz
+# ('.' < '_' < any digit-extension of the epoch field).
+_NAME_RE = re.compile(r"checkpoint_epoch_(\d+)(?:_iter_(\d+))?\.npz$")
 
 
 def checkpoint_dir(output_dir: str) -> str:
     return os.path.join(output_dir, CHECKPOINT_DIR)
 
 
-def checkpoint_path(output_dir: str, epoch: int) -> str:
-    return os.path.join(checkpoint_dir(output_dir), f"checkpoint_epoch_{epoch + 1:05d}.npz")
+def checkpoint_path(output_dir: str, epoch: int, iter_idx: Optional[int] = None) -> str:
+    name = f"checkpoint_epoch_{epoch + 1:05d}"
+    if iter_idx is not None:
+        name += f"_iter_{iter_idx:07d}"
+    return os.path.join(checkpoint_dir(output_dir), name + ".npz")
 
 
 def is_master() -> bool:
     return jax.process_index() == 0
 
 
-def save_checkpoint(output_dir: str, state: Any, epoch: int, cfg=None) -> Optional[str]:
-    """Master-only save (checkpoint.py:110-143). Returns the path written."""
+def save_checkpoint(
+    output_dir: str, state: Any, epoch: int, cfg=None, iter_idx: Optional[int] = None
+) -> Optional[str]:
+    """Master-only save (checkpoint.py:110-143). Returns the path written.
+
+    ``epoch`` is the last *completed* epoch; ``iter_idx`` (mid-epoch preemption
+    saves only) is the number of iterations already completed in epoch
+    ``epoch + 1`` — resume continues that epoch at that iteration.
+    """
     if not is_master():
         return None
     os.makedirs(checkpoint_dir(output_dir), exist_ok=True)
     leaves, _ = jax.tree_util.tree_flatten(state)
     arrays = {f"leaf_{i:05d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    path = checkpoint_path(output_dir, epoch)
+    path = checkpoint_path(output_dir, epoch, iter_idx)
     np.savez(path, **arrays)
     meta = {"epoch": epoch, "num_leaves": len(leaves)}
+    if iter_idx is not None:
+        meta["iter"] = iter_idx
     if cfg is not None:
         meta["cfg"] = cfg.dump()
     with open(path + ".json", "w") as f:
@@ -90,9 +109,14 @@ def load_checkpoint(path: str, state: Any) -> Tuple[Any, int]:
         arr = blob[key]
         assert arr.shape == tuple(np.shape(old)), (key, arr.shape, np.shape(old))
         new_leaves.append(jax.numpy.asarray(arr).astype(np.asarray(old).dtype))
-    with open(path + ".json") as f:
-        epoch = json.load(f)["epoch"]
+    epoch = checkpoint_meta(path)["epoch"]
     return jax.tree_util.tree_unflatten(treedef, new_leaves), epoch
+
+
+def checkpoint_meta(path: str) -> dict:
+    """The JSON sidecar of a checkpoint: epoch, optional mid-epoch ``iter``, cfg."""
+    with open(path + ".json") as f:
+        return json.load(f)
 
 
 def load_params_npz(path: str, params: Any) -> Any:
@@ -176,29 +200,33 @@ def load_torch_weights(path: str, params: Any) -> Any:
     return merged
 
 
-def load_train_checkpoint(cfg, state: Any) -> Tuple[Any, int]:
+def load_train_checkpoint(cfg, state: Any) -> Tuple[Any, int, int]:
     """Auto-resume / fine-tune init dispatch (checkpoint.py:617-659).
 
-    Returns (state, start_epoch)."""
+    Returns (state, start_epoch, start_iter) — start_iter > 0 only when the
+    latest checkpoint is a mid-epoch preemption save, in which case epoch
+    ``start_epoch`` resumes at iteration ``start_iter`` of its (seeded,
+    deterministic) batch order."""
     if cfg.TRAIN.AUTO_RESUME and has_checkpoint(cfg.OUTPUT_DIR):
         last = get_last_checkpoint(cfg.OUTPUT_DIR)
         logger.info("Auto-resuming from %s", last)
         state, epoch = load_checkpoint(last, state)
-        return state, epoch + 1
+        start_iter = checkpoint_meta(last).get("iter", 0)
+        return state, epoch + 1, start_iter
     if cfg.TRAIN.CHECKPOINT_FILE_PATH:
         path = cfg.TRAIN.CHECKPOINT_FILE_PATH
         if path.endswith(".npz"):
             state, epoch = load_checkpoint(path, state)
             start = 0 if cfg.TRAIN.CHECKPOINT_EPOCH_RESET else epoch + 1
-            return state, start
+            return state, start, 0
         params = load_torch_weights(path, state.params)
         if cfg.TRAIN.AUDIO_CHECKPOINT_FILE_PATH:
             # dual video+audio init (checkpoint.py:357-474): the audio encoder comes
             # from a separately pretrained checkpoint
             params = _load_audio_branch(cfg.TRAIN.AUDIO_CHECKPOINT_FILE_PATH, params)
         state = state.__class__(params, state.opt_state, state.step)
-        return state, 0
-    return state, 0
+        return state, 0, 0
+    return state, 0, 0
 
 
 def _load_audio_branch(path: str, params: Any) -> Any:

@@ -128,7 +128,7 @@ def test_audio_branch_checkpoint_merge(pyth_checkpoint, tmp_path):
     from csts_tpu.train import step as step_lib
 
     state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
-    state, start = cu.load_train_checkpoint(cfg, state)
+    state, start, _ = cu.load_train_checkpoint(cfg, state)
     assert start == 0
     # audio branch came from the audio checkpoint (offset +1), video from the main one
     ref_audio = sd["blocks_audio.1.attn.qkv.weight"].numpy().T + 1.0
@@ -296,3 +296,30 @@ def test_orbax_roundtrip_sharded(tmp_path):
         and l.sharding.shard_shape(l.shape) != l.shape
     ]
     assert sharded, "ZeRO-1 moment leaves lost their sharding through restore"
+
+
+def test_mid_epoch_checkpoint_naming_and_recency(tmp_path):
+    """Iter-tagged preemption saves sort between their epoch's neighbours:
+    ..._00005.npz < ..._00005_iter_*.npz < ..._00006.npz, so get_last_checkpoint
+    always returns the true latest and an epoch-boundary save supersedes the
+    mid-epoch file it resumed from."""
+    out = str(tmp_path)
+    state = {"w": np.ones((2,), np.float32)}
+    # completed epoch 4 (file 00005), then preempted during epoch 5 at iter 3
+    cu.save_checkpoint(out, state, epoch=4)
+    p_mid = cu.save_checkpoint(out, {"w": 2 * np.ones((2,), np.float32)},
+                               epoch=4, iter_idx=3)
+    assert "_iter_0000003" in p_mid
+    assert cu.get_last_checkpoint(out) == p_mid
+    meta = cu.checkpoint_meta(p_mid)
+    assert meta["epoch"] == 4 and meta["iter"] == 3
+    restored, epoch = cu.load_checkpoint(p_mid, state)
+    assert epoch == 4
+    np.testing.assert_array_equal(restored["w"], 2 * np.ones((2,), np.float32))
+    # epoch 5 completes -> 00006 supersedes the mid-epoch file
+    p_done = cu.save_checkpoint(out, state, epoch=5)
+    assert cu.get_last_checkpoint(out) == p_done
+    # first-epoch preemption: epoch=-1 formats as 00000 and sorts first
+    p0 = cu.save_checkpoint(out, state, epoch=-1, iter_idx=1)
+    assert os.path.basename(p0) == "checkpoint_epoch_00000_iter_0000001.npz"
+    assert cu.get_last_checkpoint(out) == p_done

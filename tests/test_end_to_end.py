@@ -205,6 +205,75 @@ def test_loader_batches(synthetic_root, tmp_path):
     assert not np.array_equal(batches[0]["video"], other["video"])
 
 
+def test_loader_mid_epoch_skip(synthetic_root, tmp_path):
+    """set_epoch(e, start_iter=k) reproduces the tail of the uninterrupted
+    epoch bit-for-bit: shuffle is (seed, epoch)-keyed and per-sample RNG is
+    absolute-position-keyed, so skipping changes nothing downstream — the
+    contract mid-epoch preemption resume relies on."""
+    from csts_tpu.data import loader as loader_lib
+    from csts_tpu.data.datasets import build_dataset
+
+    cfg = make_e2e_cfg(synthetic_root, str(tmp_path))
+    ds = build_dataset("ego4d_av_gaze_forecast", cfg, "train")
+    loader = loader_lib.GazeLoader(ds, batch_size=2, shuffle=True, num_workers=2, seed=0)
+    loader.set_epoch(0)
+    full = list(loader)
+    assert len(full) == 2
+    loader.set_epoch(0, start_iter=1)
+    tail = list(loader)
+    assert len(tail) == 1
+    for k in ("video", "audio", "labels", "labels_hm", "index"):
+        np.testing.assert_array_equal(full[1][k], tail[0][k])
+
+
+@pytest.mark.slow
+def test_mid_epoch_preemption_resume_matches_uninterrupted(synthetic_root, tmp_path):
+    """SIGTERM mid-epoch (injected deterministically) → iter-tagged checkpoint →
+    auto-resume continues the same epoch at the same iteration with the same
+    data order and RNG streams; the final weights are bit-identical to an
+    uninterrupted run. Beyond the reference: its preemption story restarts the
+    epoch (train_avgaze_net.py has no signal handling at all)."""
+    import jax
+
+    from csts_tpu.train import trainer
+    from csts_tpu.utils import checkpoint as cu
+
+    def cfg_for(out):
+        cfg = make_e2e_cfg(synthetic_root, out)
+        cfg.TRAIN.BATCH_SIZE = 2  # 2 iters/epoch over the 4 synthetic clips
+        cfg.TEST.BATCH_SIZE = 2
+        cfg.NUM_DEVICES = 2
+        cfg.TRAIN.EVAL_PERIOD = 10  # keep the drill to the train path
+        cfg.finalize()
+        return cfg
+
+    out_a = str(tmp_path / "uninterrupted")
+    os.makedirs(out_a)
+    trainer.train(cfg_for(out_a))
+
+    out_b = str(tmp_path / "preempted")
+    os.makedirs(out_b)
+    cfg_b = cfg_for(out_b)
+    trainer._PREEMPT_AFTER_ITERS = 1
+    try:
+        trainer.train(cfg_b)
+    finally:
+        trainer._PREEMPT_AFTER_ITERS = None
+    last = cu.get_last_checkpoint(out_b)
+    assert "_iter_" in last, last
+    meta = cu.checkpoint_meta(last)
+    assert meta["epoch"] == -1 and meta["iter"] == 1
+
+    trainer.train(cfg_b)  # auto-resume: epoch 0 from iter 1, then epoch 1
+
+    for epoch in (0, 1):
+        a = np.load(cu.checkpoint_path(out_a, epoch))
+        b = np.load(cu.checkpoint_path(out_b, epoch))
+        assert a.files == b.files
+        for k in a.files:
+            np.testing.assert_array_equal(a[k], b[k], err_msg=f"epoch {epoch}: {k}")
+
+
 def test_train_and_test_end_to_end(synthetic_root, tmp_path):
     from csts_tpu.eval.tester import test as run_test
     from csts_tpu.train.trainer import train as run_train
@@ -264,7 +333,7 @@ def test_auto_resume(synthetic_root, tmp_path):
     state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
     host = jax.tree_util.tree_map(np.asarray, state)
     cu.save_checkpoint(out, host, epoch=0, cfg=cfg)
-    restored, start_epoch = cu.load_train_checkpoint(cfg, state)
+    restored, start_epoch, _ = cu.load_train_checkpoint(cfg, state)
     assert start_epoch == 1
     np.testing.assert_array_equal(
         np.asarray(restored.params["classifier"]["w"]),
