@@ -25,6 +25,35 @@ from csts_tpu.utils.logging import get_logger, setup_logging
 logger = get_logger(__name__)
 
 
+def _load_params(cfg: Config, spec, params):
+    """Checkpoint chain: explicit npz/torch paths and epoch-npz files go through
+    ``cu.load_test_checkpoint`` (checkpoint.py:579-614 semantics); an orbax-only
+    training run (TRAIN.CHECKPOINT_BACKEND=orbax, which never writes npz) falls
+    through to the orbax manager's latest step — restored via a full TrainState
+    template so the saved tree structure matches, then reduced to params."""
+    from csts_tpu.utils import orbax_ckpt
+
+    has_file_source = (
+        cfg.TEST.CHECKPOINT_FILE_PATH
+        or cu.has_checkpoint(cfg.OUTPUT_DIR)
+        or cfg.TRAIN.CHECKPOINT_FILE_PATH
+    )
+    if not has_file_source and orbax_ckpt.has_checkpoint(cfg.OUTPUT_DIR):
+        from csts_tpu.train import step as train_step_lib
+
+        template, _ = train_step_lib.create_train_state(
+            cfg, spec, jax.random.PRNGKey(cfg.RNG_SEED)
+        )
+        ck = orbax_ckpt.OrbaxCheckpointer(cfg.OUTPUT_DIR)
+        try:
+            restored, step = ck.restore(template)
+        finally:
+            ck.close()
+        logger.info("Testing with orbax checkpoint at step %d.", step)
+        return restored.params
+    return cu.load_test_checkpoint(cfg, params)
+
+
 def test(cfg: Config) -> dict:
     setup_logging(cfg.OUTPUT_DIR)
     logger.info("Test with config:")
@@ -33,7 +62,7 @@ def test(cfg: Config) -> dict:
     spec = csts_lib.build_spec(cfg)
     mesh = mesh_lib.mesh_from_cfg(cfg)
     params = csts_lib.csts_init(jax.random.PRNGKey(cfg.RNG_SEED), spec)
-    params = cu.load_test_checkpoint(cfg, params)
+    params = _load_params(cfg, spec, params)
     if cfg.TRAIN.MIXED_PRECISION:
         # cast weights once instead of per-op inside the step
         import jax.numpy as jnp

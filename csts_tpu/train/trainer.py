@@ -80,24 +80,17 @@ def train(cfg: Config) -> None:
         from csts_tpu.utils import orbax_ckpt
 
         ckpt_mngr = orbax_ckpt.OrbaxCheckpointer(cfg.OUTPUT_DIR)
-    resume_epoch = (
-        ckpt_mngr.latest_epoch()
+    resume_step = (
+        ckpt_mngr.latest_step()
         if ckpt_mngr is not None and cfg.TRAIN.AUTO_RESUME
         else None
     )
-    if resume_epoch is not None:
-        # a mid-epoch preemption save (always npz) may be newer than the last
-        # completed orbax epoch — its meta epoch is the last epoch completed at
-        # save time, so ">= resume_epoch" means it happened after that epoch
-        last_npz = cu.get_last_checkpoint(cfg.OUTPUT_DIR)
-        if last_npz is not None:
-            meta = cu.checkpoint_meta(last_npz)
-            if meta.get("iter") and meta["epoch"] >= resume_epoch:
-                resume_epoch = None
-    if resume_epoch is None:
+    if resume_step is None:
         state, start_epoch, start_iter = cu.load_train_checkpoint(cfg, state)
     else:
-        start_epoch, start_iter = resume_epoch + 1, 0
+        # orbax is keyed by global iteration: boundary saves land on epoch
+        # multiples (start_iter 0), preemption saves mid-epoch (see orbax_ckpt)
+        start_epoch, start_iter = divmod(resume_step, steps_per_epoch)
     state_shardings = None
     tp_on = cfg.PARALLEL.MODEL > 1
     if cfg.SOLVER.ZERO1 or tp_on:
@@ -136,8 +129,8 @@ def train(cfg: Config) -> None:
         state = jax.device_put(
             state, state_shardings if state_shardings is not None
             else mesh_lib.replicated(mesh))
-        if ckpt_mngr is not None and resume_epoch is not None:
-            state, _ = ckpt_mngr.restore(state, resume_epoch)
+        if ckpt_mngr is not None and resume_step is not None:
+            state, _ = ckpt_mngr.restore(state, resume_step)
         logger.info("Start epoch: %d (iter %d)", start_epoch + 1, start_iter)
 
         for cur_epoch in range(start_epoch, cfg.SOLVER.MAX_EPOCH):
@@ -150,14 +143,18 @@ def train(cfg: Config) -> None:
             )
             epoch_timer.epoch_toc()
             if stopped_at is not None:
-                # mid-epoch preemption: synchronous iter-tagged npz save (under
-                # any backend — the orbax manager keys by completed epochs);
-                # auto-resume continues this epoch at iteration ``stopped_at``.
-                host_state = jax.tree_util.tree_map(np.asarray, state)
-                cu.save_checkpoint(
-                    cfg.OUTPUT_DIR, host_state, cur_epoch - 1, cfg,
-                    iter_idx=stopped_at,
-                )
+                # mid-epoch preemption: auto-resume continues this epoch at
+                # iteration ``stopped_at``. Orbax rides the async sharding-aware
+                # path (works with cross-host-sharded ZeRO-1/TP state); npz is
+                # a synchronous iter-tagged host save.
+                if ckpt_mngr is not None:
+                    ckpt_mngr.save(state, cur_epoch * steps_per_epoch + stopped_at)
+                else:
+                    host_state = jax.tree_util.tree_map(np.asarray, state)
+                    cu.save_checkpoint(
+                        cfg.OUTPUT_DIR, host_state, cur_epoch - 1, cfg,
+                        iter_idx=stopped_at,
+                    )
                 logger.info(
                     "Preemption checkpoint saved (epoch %d, iter %d); exiting.",
                     cur_epoch + 1, stopped_at,
@@ -172,7 +169,7 @@ def train(cfg: Config) -> None:
             if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD == 0:
                 if ckpt_mngr is not None:
                     # async: the write overlaps the next epoch's steps
-                    ckpt_mngr.save(state, cur_epoch)
+                    ckpt_mngr.save(state, (cur_epoch + 1) * steps_per_epoch)
                 else:
                     host_state = jax.tree_util.tree_map(np.asarray, state)
                     cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch, cfg)
@@ -183,7 +180,7 @@ def train(cfg: Config) -> None:
                 # boundary, making sure this epoch is checkpointed
                 if (cur_epoch + 1) % cfg.TRAIN.CHECKPOINT_PERIOD != 0:
                     if ckpt_mngr is not None:
-                        ckpt_mngr.save(state, cur_epoch)
+                        ckpt_mngr.save(state, (cur_epoch + 1) * steps_per_epoch)
                     else:
                         host_state = jax.tree_util.tree_map(np.asarray, state)
                         cu.save_checkpoint(cfg.OUTPUT_DIR, host_state, cur_epoch, cfg)

@@ -43,33 +43,41 @@ def _manager(output_dir: str, max_to_keep: Optional[int] = None):
 
 
 class OrbaxCheckpointer:
-    """CheckpointManager wrapper keyed by epoch (the trainer's save unit)."""
+    """CheckpointManager wrapper keyed by GLOBAL ITERATION.
+
+    The trainer maps epochs to steps: an epoch-e boundary save is step
+    ``(e+1)*steps_per_epoch`` and a mid-epoch preemption save at iteration i is
+    ``e*steps_per_epoch + i`` — so ``divmod(step, steps_per_epoch)`` is always
+    ``(start_epoch, start_iter)`` on resume. This lets preemption saves ride
+    the async sharding-aware path on any topology (the npz backend's host
+    ``np.asarray`` gather cannot handle cross-host-sharded ZeRO-1/TP state).
+    """
 
     def __init__(self, output_dir: str, max_to_keep: Optional[int] = None):
         self._mngr = _manager(output_dir, max_to_keep)
 
-    def save(self, state: Any, epoch: int) -> None:
+    def save(self, state: Any, step: int) -> None:
         """Async-save the (device-resident, possibly sharded) TrainState."""
         import orbax.checkpoint as ocp
 
-        self._mngr.save(epoch, args=ocp.args.StandardSave(state))
+        self._mngr.save(step, args=ocp.args.StandardSave(state))
 
-    def latest_epoch(self) -> Optional[int]:
+    def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
-    def restore(self, state: Any, epoch: Optional[int] = None) -> Tuple[Any, int]:
-        """Restore into ``state``'s structure/shardings. Returns (state, epoch).
+    def restore(self, state: Any, step: Optional[int] = None) -> Tuple[Any, int]:
+        """Restore into ``state``'s structure/shardings. Returns (state, step).
 
         ``state`` is the template: concrete arrays restore with their current
         sharding (device-put'ed per shard — no full-host materialization).
         """
         import orbax.checkpoint as ocp
 
-        step = self._mngr.latest_step() if epoch is None else epoch
+        step = self._mngr.latest_step() if step is None else step
         if step is None:
             return state, -1
         restored = self._mngr.restore(step, args=ocp.args.StandardRestore(state))
-        logger.info("Restored orbax checkpoint at epoch %d.", step + 1)
+        logger.info("Restored orbax checkpoint at step %d.", step)
         return restored, step
 
     def wait(self) -> None:

@@ -252,7 +252,7 @@ def test_orbax_roundtrip_sharded(tmp_path):
     """Orbax backend (utils/orbax_ckpt.py): async save of a ZeRO-1-sharded
     TrainState on the 8-device mesh, restore into a zeroed template carrying
     the same shardings — every leaf equal, the moment shards stay sharded
-    (direct-to-shard restore, no host materialization), latest_epoch found."""
+    (direct-to-shard restore, no host materialization), latest_step found."""
     from csts_tpu.parallel import mesh as mesh_lib
     from csts_tpu.train import step as step_lib
     from csts_tpu.utils import orbax_ckpt
@@ -280,9 +280,9 @@ def test_orbax_roundtrip_sharded(tmp_path):
     with jax.sharding.set_mesh(mesh):
         st = jax.device_put(state, shardings)
         ck = orbax_ckpt.OrbaxCheckpointer(str(tmp_path), max_to_keep=2)
-        ck.save(st, epoch=3)
+        ck.save(st, step=3)
         ck.wait()
-        assert ck.latest_epoch() == 3
+        assert ck.latest_step() == 3
         assert orbax_ckpt.has_checkpoint(str(tmp_path))
         template = jax.tree_util.tree_map(jnp.zeros_like, st)
         restored, ep = ck.restore(template)

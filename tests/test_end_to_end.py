@@ -343,28 +343,54 @@ def test_auto_resume(synthetic_root, tmp_path):
 
 @pytest.mark.slow
 def test_orbax_trainer_resume(synthetic_root, tmp_path):
-    """TRAIN.CHECKPOINT_BACKEND=orbax through the real trainer: epoch 0 trains
-    and async-saves; a second train() call must resume from the orbax manager
-    (restore happens after device placement — trainer.py) and finish epoch 1."""
-    from csts_tpu.train.trainer import train as run_train
+    """TRAIN.CHECKPOINT_BACKEND=orbax through the real trainer, keyed by global
+    iteration (2 iters/epoch here): a mid-epoch preemption save lands on step
+    epoch*spe+iter and rides the async sharding-aware path; resume continues
+    that epoch at that iteration; boundary saves land on epoch multiples; and
+    the tester restores params from an orbax-only run (no npz is ever
+    written)."""
+    from csts_tpu.eval.tester import test as run_test
+    from csts_tpu.train import trainer
+    from csts_tpu.utils import checkpoint as cu
     from csts_tpu.utils import orbax_ckpt
 
     out = str(tmp_path / "orbax_resume")
     os.makedirs(out)
     cfg = make_e2e_cfg(synthetic_root, out)
     cfg.TRAIN.CHECKPOINT_BACKEND = "orbax"
+    cfg.TRAIN.BATCH_SIZE = 2  # 2 iters/epoch over the 4 synthetic clips
+    cfg.TEST.BATCH_SIZE = 2
+    cfg.NUM_DEVICES = 2
     cfg.SOLVER.MAX_EPOCH = 1
-    run_train(cfg)
+    cfg.TRAIN.EVAL_PERIOD = 10
+    cfg.finalize()
+
+    # preempt after iter 1 of epoch 0 -> orbax step 0*2+1 = 1, no npz written
+    trainer._PREEMPT_AFTER_ITERS = 1
+    try:
+        trainer.train(cfg)
+    finally:
+        trainer._PREEMPT_AFTER_ITERS = None
     assert orbax_ckpt.has_checkpoint(out)
+    assert not cu.has_checkpoint(out)
     ck = orbax_ckpt.OrbaxCheckpointer(out)
-    assert ck.latest_epoch() == 0
+    assert ck.latest_step() == 1
+    ck.close()
+
+    trainer.train(cfg)  # resumes epoch 0 at iter 1 -> boundary save at step 2
+    ck = orbax_ckpt.OrbaxCheckpointer(out)
+    assert ck.latest_step() == 2
     ck.close()
 
     cfg.SOLVER.MAX_EPOCH = 2
-    run_train(cfg)  # resumes at epoch 1; re-running epoch 0 would also save it
+    trainer.train(cfg)  # resumes at epoch 1 (divmod(2, 2)) -> step 4
     ck = orbax_ckpt.OrbaxCheckpointer(out)
-    assert ck.latest_epoch() == 1
+    assert ck.latest_step() == 4
     ck.close()
+
+    stats = run_test(cfg)  # tester restores from the orbax manager
+    assert stats["_type"] == "test_final"
+    assert np.isfinite(stats["f1"])
 
 
 def test_full_frame_sliding_window(synthetic_root, tmp_path, monkeypatch):
