@@ -184,6 +184,13 @@ class SolverConfig:
     # XLA turns the optimizer update into compute-on-shard + all-gather of the
     # updates). Beyond the reference, which is plain DDP (SURVEY §2.2).
     ZERO1: bool = False
+    # ZeRO-3 / FSDP: shard params AND Adam moments over the data axis
+    # (parallel/mesh.py fsdp_param_sharding — XLA gathers params on use and
+    # reduce-scatters gradients). Subsumes ZERO1; composes with PARALLEL.MODEL.
+    FSDP: bool = False
+    # Store Adam's first moment in bfloat16 (optax mu_dtype): halves mu memory;
+    # nu stays fp32 (grad² underflows bf16 near convergence).
+    BF16_MOMENTS: bool = False
 
 
 @dataclass

@@ -185,6 +185,36 @@ def opt_state_sharding(mesh: Mesh, opt_state):
     return jax.tree_util.tree_map(rule, opt_state)
 
 
+def fsdp_param_sharding(mesh: Mesh, params, model_parallel: bool = False):
+    """ZeRO-3 / FSDP sharding pytree for params (``SOLVER.FSDP``).
+
+    Every weight leaf is sharded over the ``data`` axis along its first
+    dp-divisible dimension; XLA all-gathers a layer's params on use in the
+    forward/backward and reduce-scatters its gradient into the shard — the
+    FSDP dataflow, expressed purely as sharding annotations (per-device
+    param + grad + moment memory divided by dp). The reference has no
+    param sharding at all (fairscale appears only for activation
+    checkpointing, SURVEY §2.2).
+
+    Composes with tensor parallelism: a leaf the Megatron rules shard over
+    ``model`` gets ``data`` on its *other* dp-divisible dimension (2-D weight
+    sharding); leaves too small to split stay replicated.
+    """
+    dp = mesh.shape[DATA_AXIS]
+    tp_rules = param_sharding_rules(mesh, params, model_parallel=model_parallel)
+
+    def rule(leaf, tp_sharding):
+        shape = getattr(leaf, "shape", ())
+        spec = list(tp_sharding.spec) + [None] * (len(shape) - len(tp_sharding.spec))
+        for ax, d in enumerate(shape):
+            if spec[ax] is None and d >= dp and d % dp == 0:
+                spec[ax] = DATA_AXIS
+                return NamedSharding(mesh, P(*spec))
+        return tp_sharding
+
+    return jax.tree_util.tree_map(rule, params, tp_rules)
+
+
 def param_sharding_rules(mesh: Mesh, params, model_parallel: bool = False):
     """Sharding pytree for params. Replicated for DP; with ``model_parallel``, the
     qkv/mlp projection matrices of 768-wide blocks shard their output dim over the

@@ -67,12 +67,18 @@ def construct_optimizer(params, cfg: Config) -> optax.GradientTransformation:
     elif solver.CLIP_GRAD_L2NORM:
         chain.append(optax.clip_by_global_norm(solver.CLIP_GRAD_L2NORM))
 
+    # SOLVER.BF16_MOMENTS halves first-moment memory (optax casts mu on store,
+    # accumulates the update in fp32). nu stays fp32: the second moment's
+    # dynamic range (grad²) underflows bf16's 8-bit mantissa near convergence.
+    # Composes with ZeRO-1/FSDP sharding for large family members.
+    mu_dtype = jnp.bfloat16 if solver.BF16_MOMENTS else None
+
     method = solver.OPTIMIZING_METHOD
     if method == "adamw":
-        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, mu_dtype=mu_dtype))
         chain.append(optax.add_decayed_weights(solver.WEIGHT_DECAY, mask=lambda p: mask))
     elif method == "adam":
-        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8))
+        chain.append(optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8, mu_dtype=mu_dtype))
         # torch Adam applies L2 into the gradient before the moment update; the
         # reference ships AdamW, so plain Adam keeps optax's decoupled behaviour here.
         chain.append(optax.add_decayed_weights(solver.WEIGHT_DECAY, mask=lambda p: mask))

@@ -93,15 +93,20 @@ def train(cfg: Config) -> None:
         start_epoch, start_iter = divmod(resume_step, steps_per_epoch)
     state_shardings = None
     tp_on = cfg.PARALLEL.MODEL > 1
-    if cfg.SOLVER.ZERO1 or tp_on:
-        # ZeRO-1 shards Adam moments over data; tp shards the Megatron matmul
-        # weights over model. Both express as a TrainState of shardings; with
-        # tp but no ZeRO-1 the moments stay replicated (correct, just unsharded
-        # — turn ZERO1 on to shard them too).
+    fsdp_on = cfg.SOLVER.FSDP
+    if cfg.SOLVER.ZERO1 or tp_on or fsdp_on:
+        # ZeRO-1 shards Adam moments over data; FSDP (ZeRO-3) shards the params
+        # too (XLA gathers on use); tp shards the Megatron matmul weights over
+        # model. All express as a TrainState of shardings; with tp but neither
+        # ZeRO level the moments stay replicated (correct, just unsharded).
         state_shardings = step_lib.TrainState(
-            mesh_lib.param_sharding_rules(mesh, state.params, model_parallel=tp_on),
+            mesh_lib.fsdp_param_sharding(mesh, state.params, model_parallel=tp_on)
+            if fsdp_on
+            else mesh_lib.param_sharding_rules(
+                mesh, state.params, model_parallel=tp_on
+            ),
             mesh_lib.opt_state_sharding(mesh, state.opt_state)
-            if cfg.SOLVER.ZERO1
+            if (cfg.SOLVER.ZERO1 or fsdp_on)
             else jax.tree_util.tree_map(
                 lambda _: mesh_lib.replicated(mesh), state.opt_state
             ),

@@ -298,6 +298,64 @@ def test_orbax_roundtrip_sharded(tmp_path):
     assert sharded, "ZeRO-1 moment leaves lost their sharding through restore"
 
 
+def test_orbax_elastic_topology_restore(tmp_path):
+    """Elastic resume: a TrainState FSDP-sharded over dp8 restores into an
+    FSDP template on a DIFFERENT topology (dp4) — orbax checkpoints store
+    global arrays, so the restore resharding is free. The reference can only
+    restart on the exact GPU count it saved from (DDP + torch.save)."""
+    from csts_tpu.parallel import mesh as mesh_lib
+    from csts_tpu.train import step as step_lib
+    from csts_tpu.utils import orbax_ckpt
+
+    cfg = tiny_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = 32
+    cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.AUDIO_FREQ_BINS = 32
+    cfg.DATA.AUDIO_WINDOW = 32
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.NUM_HEADS = 1
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [2, 1, 2, 2], [3, 1, 2, 2]]
+    spec = csts_lib.build_spec(cfg)
+    state, _ = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
+
+    def fsdp_shardings(mesh, st):
+        return step_lib.TrainState(
+            mesh_lib.fsdp_param_sharding(mesh, st.params),
+            mesh_lib.opt_state_sharding(mesh, st.opt_state),
+            mesh_lib.replicated(mesh),
+        )
+
+    mesh8 = mesh_lib.make_mesh(num_devices=8)
+    with jax.sharding.set_mesh(mesh8):
+        st8 = jax.device_put(state, fsdp_shardings(mesh8, state))
+        ck = orbax_ckpt.OrbaxCheckpointer(str(tmp_path))
+        ck.save(st8, step=5)
+        ck.wait()
+        ck.close()
+
+    mesh4 = mesh_lib.make_mesh(num_devices=4)
+    with jax.sharding.set_mesh(mesh4):
+        template = jax.device_put(
+            jax.tree_util.tree_map(jnp.zeros_like, state),
+            fsdp_shardings(mesh4, state),
+        )
+        ck = orbax_ckpt.OrbaxCheckpointer(str(tmp_path))
+        restored, step = ck.restore(template)
+        ck.close()
+    assert step == 5
+    for a, b in zip(
+        jax.tree_util.tree_leaves(restored), jax.tree_util.tree_leaves(state)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the restored leaves live on the NEW 4-device mesh with its shardings
+    qkv = restored.params["blocks"][0]["attn"]["qkv"]["w"]
+    assert len(qkv.sharding.device_set) == 4
+    assert np.prod(qkv.sharding.shard_shape(qkv.shape)) * 4 == np.prod(qkv.shape)
+
+
 def test_mid_epoch_checkpoint_naming_and_recency(tmp_path):
     """Iter-tagged preemption saves sort between their epoch's neighbours:
     ..._00005.npz < ..._00005_iter_*.npz < ..._00006.npz, so get_last_checkpoint

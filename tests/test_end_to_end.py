@@ -320,6 +320,27 @@ def test_two_view_test_pipeline(synthetic_root, tmp_path):
         assert np.isfinite(stats[k]), stats
 
 
+@pytest.mark.slow
+def test_fsdp_trainer_e2e(synthetic_root, tmp_path):
+    """SOLVER.FSDP through the real trainer: params/moments shard over the data
+    axis, the epoch trains to finite losses, and the npz checkpoint gathers the
+    shards back to full host arrays."""
+    from csts_tpu.train.trainer import train as run_train
+    from csts_tpu.utils import checkpoint as cu
+
+    out = str(tmp_path / "fsdp")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.SOLVER.FSDP = True
+    run_train(cfg)
+    assert cu.has_checkpoint(out)
+    blob = np.load(cu.get_last_checkpoint(out))
+    floats = [blob[k] for k in blob.files
+              if np.issubdtype(blob[k].dtype, np.floating)]
+    assert floats and all(np.all(np.isfinite(w)) for w in floats)
+
+
 def test_auto_resume(synthetic_root, tmp_path):
     from csts_tpu.models import csts as csts_lib
     from csts_tpu.train import step as step_lib
@@ -421,6 +442,24 @@ def test_full_frame_sliding_window(synthetic_root, tmp_path, monkeypatch):
         sample["meta"]["index"],
         np.minimum(np.arange(8) * stride, FRAMES_PER_CLIP - 1),
     )
+
+
+def test_visualization_runner(synthetic_root, tmp_path):
+    """run_visualization: test clips → per-frame pred/label overlays (+ fusion
+    attention maps) on disk — the workflow the reference ships commented out
+    (test_avgaze_net.py:73-82)."""
+    from csts_tpu.eval.visualize import run_visualization
+
+    out = str(tmp_path / "visout")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    vis_dir = run_visualization(cfg, num_clips=2, attention=True)
+    clip0 = os.path.join(vis_dir, "clip0000")
+    frames = [f for f in os.listdir(clip0) if f.startswith("clip_f")]
+    assert len(frames) == 8, sorted(os.listdir(clip0))
+    assert os.listdir(os.path.join(clip0, "spatial_attn"))
+    assert os.listdir(os.path.join(clip0, "temporal_attn"))
+    assert os.path.isdir(os.path.join(vis_dir, "clip0001"))
 
 
 def test_serving_predictor(synthetic_root, tmp_path):

@@ -279,6 +279,98 @@ def test_zero1_matches_replicated(setup):
     assert frac <= 1 / 8 + 1e-6
 
 
+def test_bf16_moments_halve_mu_memory():
+    """SOLVER.BF16_MOMENTS: Adam's first moment stores as bfloat16 (half the
+    memory), the second stays fp32, and one update step stays within bf16
+    rounding of the fp32-moment update."""
+    from csts_tpu.train.optimizer import construct_optimizer
+
+    params = {
+        "w": jnp.linspace(-1.0, 1.0, 256).reshape(16, 16).astype(jnp.float32),
+        "b": jnp.zeros((16,), jnp.float32),
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: jnp.cos(p.astype(jnp.float32) * 3.0) * 0.01, params
+    )
+
+    def one_step(bf16):
+        cfg = tiny_cfg()
+        cfg.SOLVER.BF16_MOMENTS = bf16
+        tx = construct_optimizer(params, cfg)
+        state = tx.init(params)
+        updates, state = tx.update(grads, state, params)
+        import optax
+
+        return optax.apply_updates(params, updates), state
+
+    new32, st32 = one_step(False)
+    new16, st16 = one_step(True)
+
+    def moment_dtypes(state, name):
+        return {
+            str(l.dtype)
+            for path, l in jax.tree_util.tree_flatten_with_path(state)[0]
+            if any(getattr(p, "name", "") == name for p in path)
+        }
+
+    assert moment_dtypes(st16, "mu") == {"bfloat16"}
+    assert moment_dtypes(st16, "nu") == {"float32"}
+    assert moment_dtypes(st32, "mu") == {"float32"}
+    np.testing.assert_allclose(
+        np.asarray(new16["w"]), np.asarray(new32["w"]), rtol=0, atol=1e-4
+    )
+
+
+def test_fsdp_matches_replicated(setup):
+    """SOLVER.FSDP (ZeRO-3: params + moments sharded over the data axis, XLA
+    gathers params on use) must produce the same params as the replicated-state
+    program, while actually sharding the param buffers."""
+    cfg, spec, fresh_state, tx, train_step = setup
+    rng = np.random.default_rng(13)
+    batch_np = make_batch(rng, 8)
+    mesh = mesh_lib.make_mesh()
+
+    ref = fresh_state()
+    state_shardings = step_lib.TrainState(
+        mesh_lib.fsdp_param_sharding(mesh, ref.params),
+        mesh_lib.opt_state_sharding(mesh, ref.opt_state),
+        mesh_lib.replicated(mesh),
+    )
+    fsdp_step = step_lib.make_train_step(
+        cfg, spec, tx, steps_per_epoch=10, state_shardings=state_shardings
+    )
+
+    with jax.sharding.set_mesh(mesh):
+        st_rep = jax.device_put(fresh_state(), mesh_lib.replicated(mesh))
+        st_f = jax.device_put(fresh_state(), state_shardings)
+        b = mesh_lib.shard_batch(mesh, batch_np)
+        for i in range(2):
+            st_rep, stats_rep, _ = train_step(st_rep, b, jax.random.PRNGKey(i))
+            st_f, stats_f, _ = fsdp_step(st_f, b, jax.random.PRNGKey(i))
+
+    assert abs(float(stats_rep["loss"]) - float(stats_f["loss"])) < 1e-5
+    np.testing.assert_allclose(
+        np.asarray(st_f.params["classifier"]["w"]),
+        np.asarray(st_rep.params["classifier"]["w"]), atol=1e-6,
+    )
+    # the PARAMS must be genuinely sharded (ZeRO-3, not just ZeRO-1): every
+    # dp-divisible leaf's per-device shard holds 1/8 of it
+    leaves = jax.tree_util.tree_leaves(st_f.params)
+    sharded = [
+        l for l in leaves
+        if hasattr(l, "sharding") and l.ndim >= 1
+        and l.sharding.shard_shape(l.shape) != l.shape
+    ]
+    assert sharded, "no param leaf is sharded under FSDP"
+    frac = sum(np.prod(l.sharding.shard_shape(l.shape)) for l in sharded) / sum(
+        np.prod(l.shape) for l in sharded
+    )
+    assert frac <= 1 / 8 + 1e-6
+    # the big 2-D weights specifically (the memory that matters) must be sharded
+    qkv = st_f.params["blocks"][0]["attn"]["qkv"]["w"]
+    assert qkv.sharding.shard_shape(qkv.shape) != qkv.shape
+
+
 def test_lr_follows_cosine_schedule(setup):
     cfg, spec, fresh_state, tx, train_step = setup
     state = fresh_state()
