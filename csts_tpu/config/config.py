@@ -74,6 +74,9 @@ class TestConfig:
     # (referenced at ego4d_avgaze.py:118 but never defined in the reference's
     # config — a latent AttributeError there; defined here with a sane default).
     FULL_FRAME_TEST: bool = False
+    # Evaluate the EMA weights when the checkpoint carries them
+    # (SOLVER.EMA_DECAY > 0 training runs).
+    USE_EMA: bool = False
 
 
 @dataclass
@@ -191,6 +194,10 @@ class SolverConfig:
     # Store Adam's first moment in bfloat16 (optax mu_dtype): halves mu memory;
     # nu stays fp32 (grad² underflows bf16 near convergence).
     BF16_MOMENTS: bool = False
+    # Polyak/EMA weight averaging: > 0 keeps an exponential moving average of
+    # the params in the TrainState (decay per step); the trainer's validation
+    # and (with TEST.USE_EMA) the tester evaluate the smoothed weights.
+    EMA_DECAY: float = 0.0
 
 
 @dataclass

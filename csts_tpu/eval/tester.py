@@ -31,7 +31,22 @@ def _load_params(cfg: Config, spec, params):
     training run (TRAIN.CHECKPOINT_BACKEND=orbax, which never writes npz) falls
     through to the orbax manager's latest step — restored via a full TrainState
     template so the saved tree structure matches, then reduced to params."""
+    from csts_tpu.train import step as train_step_lib
     from csts_tpu.utils import orbax_ckpt
+
+    def pick(state):
+        """TEST.USE_EMA: evaluate the smoothed weights when the TrainState
+        carries them (SOLVER.EMA_DECAY > 0 training runs)."""
+        if cfg.TEST.USE_EMA:
+            if state.ema is None:
+                logger.warning(
+                    "TEST.USE_EMA requested but the checkpoint has no EMA "
+                    "weights; evaluating raw params."
+                )
+            else:
+                logger.info("Evaluating EMA weights.")
+                return state.ema
+        return state.params
 
     has_file_source = (
         cfg.TEST.CHECKPOINT_FILE_PATH
@@ -39,8 +54,6 @@ def _load_params(cfg: Config, spec, params):
         or cfg.TRAIN.CHECKPOINT_FILE_PATH
     )
     if not has_file_source and orbax_ckpt.has_checkpoint(cfg.OUTPUT_DIR):
-        from csts_tpu.train import step as train_step_lib
-
         template, _ = train_step_lib.create_train_state(
             cfg, spec, jax.random.PRNGKey(cfg.RNG_SEED)
         )
@@ -50,7 +63,20 @@ def _load_params(cfg: Config, spec, params):
         finally:
             ck.close()
         logger.info("Testing with orbax checkpoint at step %d.", step)
-        return restored.params
+        return pick(restored)
+    if (
+        cfg.TEST.USE_EMA
+        and not cfg.TEST.CHECKPOINT_FILE_PATH
+        and cu.has_checkpoint(cfg.OUTPUT_DIR)
+    ):
+        # native TrainState npz in OUTPUT_DIR: restore the full state so the
+        # trailing EMA leaves are recovered (load_test_checkpoint only maps
+        # the leading params leaves)
+        template, _ = train_step_lib.create_train_state(
+            cfg, spec, jax.random.PRNGKey(cfg.RNG_SEED)
+        )
+        state, _ = cu.load_checkpoint(cu.get_last_checkpoint(cfg.OUTPUT_DIR), template)
+        return pick(state)
     return cu.load_test_checkpoint(cfg, params)
 
 

@@ -32,14 +32,19 @@ class TrainState:
     params: Any
     opt_state: Any
     step: jax.Array  # scalar int32
+    # EMA of params (SOLVER.EMA_DECAY > 0), else None. None flattens to zero
+    # leaves, so EMA-off states keep the historical leaf order/count (old
+    # checkpoints load unchanged); ema sits LAST so load_params_npz's
+    # "params are the leading leaves" invariant holds either way.
+    ema: Any = None
 
     def tree_flatten(self):
-        return (self.params, self.opt_state, self.step), None
+        return (self.params, self.opt_state, self.step, self.ema), None
 
 
 jax.tree_util.register_pytree_node(
     TrainState,
-    lambda s: ((s.params, s.opt_state, s.step), None),
+    lambda s: ((s.params, s.opt_state, s.step, s.ema), None),
     lambda _, c: TrainState(*c),
 )
 
@@ -48,7 +53,13 @@ def create_train_state(cfg: Config, spec, key: jax.Array) -> Tuple[TrainState, o
     params = csts_lib.csts_init(key, spec)
     tx = construct_optimizer(params, cfg)
     opt_state = tx.init(params)
-    return TrainState(params, opt_state, jnp.zeros((), jnp.int32)), tx
+    # distinct buffers (not aliases of params): the train step donates the whole
+    # state, and aliased donated leaves are rejected
+    ema = (
+        jax.tree_util.tree_map(jnp.copy, params)
+        if cfg.SOLVER.EMA_DECAY > 0 else None
+    )
+    return TrainState(params, opt_state, jnp.zeros((), jnp.int32), ema), tx
 
 
 def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: int = 1,
@@ -79,6 +90,7 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: in
     alpha = cfg.MODEL.LOSS_ALPHA
     loss_name = cfg.MODEL.LOSS_FUNC
     use_nce = "nce" in loss_name
+    ema_decay = solver.EMA_DECAY
 
     # Training-only layout fix: inside the train graph XLA layout assignment
     # poisons the depthwise kv-pool convs (f32 batch-in-sublanes outputs, 9.95
@@ -231,7 +243,18 @@ def make_train_step(cfg: Config, spec, tx, steps_per_epoch: int, accum_steps: in
         stats = dict(stats)
         stats["lr"] = lr
         stats["grad_norm"] = optax.global_norm(grads)
-        new_state = TrainState(params, opt_state, state.step + 1)
+        ema = state.ema
+        if ema is not None:
+            # Polyak average in fp32, stored back at the ema leaf's dtype
+            # (beyond the reference: eval/serve from the smoothed weights).
+            d = jnp.asarray(ema_decay, jnp.float32)
+            ema = jax.tree_util.tree_map(
+                lambda e, p: (
+                    d * e.astype(jnp.float32) + (1.0 - d) * p.astype(jnp.float32)
+                ).astype(e.dtype),
+                state.ema, params,
+            )
+        new_state = TrainState(params, opt_state, state.step + 1, ema)
         if state_shardings is not None:
             new_state = jax.lax.with_sharding_constraint(new_state, state_shardings)
         return new_state, stats, preds

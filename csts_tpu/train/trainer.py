@@ -99,18 +99,23 @@ def train(cfg: Config) -> None:
         # too (XLA gathers on use); tp shards the Megatron matmul weights over
         # model. All express as a TrainState of shardings; with tp but neither
         # ZeRO level the moments stay replicated (correct, just unsharded).
-        state_shardings = step_lib.TrainState(
+        param_shardings = (
             mesh_lib.fsdp_param_sharding(mesh, state.params, model_parallel=tp_on)
             if fsdp_on
             else mesh_lib.param_sharding_rules(
                 mesh, state.params, model_parallel=tp_on
-            ),
+            )
+        )
+        state_shardings = step_lib.TrainState(
+            param_shardings,
             mesh_lib.opt_state_sharding(mesh, state.opt_state)
             if (cfg.SOLVER.ZERO1 or fsdp_on)
             else jax.tree_util.tree_map(
                 lambda _: mesh_lib.replicated(mesh), state.opt_state
             ),
             mesh_lib.replicated(mesh),
+            # the EMA tree mirrors params, so it rides the same shardings
+            param_shardings if state.ema is not None else None,
         )
     train_step = step_lib.make_train_step(
         cfg, spec, tx, steps_per_epoch, accum_steps=cfg.TRAIN.GRAD_ACCUM_STEPS,
@@ -277,9 +282,11 @@ def _eval_epoch(val_loader, state, eval_step, meter, cur_epoch, cfg, mesh):
         iter(val_loader), lambda b: mesh_lib.shard_batch(mesh, b),
         depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
     )
+    # validate the smoothed weights when EMA is on (SOLVER.EMA_DECAY)
+    eval_params = state.ema if state.ema is not None else state.params
     for cur_iter, batch in enumerate(prefetch):
         meter.data_toc()
-        preds = eval_step(state.params, batch)
+        preds = eval_step(eval_params, batch)
         preds_rescaled = metrics.minmax_rescale(preds)
         f1, recall, precision, threshold = metrics.adaptive_f1(
             preds_rescaled, batch["labels_hm"], batch["labels"], dataset_name

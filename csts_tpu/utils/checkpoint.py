@@ -224,7 +224,12 @@ def load_train_checkpoint(cfg, state: Any) -> Tuple[Any, int, int]:
             # dual video+audio init (checkpoint.py:357-474): the audio encoder comes
             # from a separately pretrained checkpoint
             params = _load_audio_branch(cfg.TRAIN.AUDIO_CHECKPOINT_FILE_PATH, params)
-        state = state.__class__(params, state.opt_state, state.step)
+        # EMA (if on) restarts from the fine-tune init weights
+        ema = (
+            None if getattr(state, "ema", None) is None
+            else jax.tree_util.tree_map(jax.numpy.copy, params)
+        )
+        state = state.__class__(params, state.opt_state, state.step, ema)
         return state, 0, 0
     return state, 0, 0
 

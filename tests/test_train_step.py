@@ -279,6 +279,98 @@ def test_zero1_matches_replicated(setup):
     assert frac <= 1 / 8 + 1e-6
 
 
+def test_ema_tracks_params(tmp_path):
+    """SOLVER.EMA_DECAY: the TrainState carries a Polyak average that follows
+    the exact per-step recurrence, checkpoints round-trip it (trailing leaves),
+    and EMA-off states keep the historical leaf count."""
+    cfg = tiny_cfg()
+    cfg.SOLVER.EMA_DECAY = 0.9
+    spec = csts_lib.build_spec(cfg)
+    state, tx = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
+    assert state.ema is not None
+    p0 = np.asarray(state.params["classifier"]["w"])
+    np.testing.assert_array_equal(np.asarray(state.ema["classifier"]["w"]), p0)
+
+    train_step = step_lib.make_train_step(cfg, spec, tx, steps_per_epoch=10)
+    rng = np.random.default_rng(3)
+    batch = jax.tree_util.tree_map(jnp.asarray, make_batch(rng, 2))
+    expected = p0
+    st = state
+    for i in range(2):
+        st, _, _ = train_step(st, batch, jax.random.PRNGKey(i))
+        expected = 0.9 * expected + 0.1 * np.asarray(st.params["classifier"]["w"])
+    np.testing.assert_allclose(
+        np.asarray(st.ema["classifier"]["w"]), expected, atol=1e-6
+    )
+    # the average lags the raw weights (it is a distinct trajectory)
+    assert not np.allclose(
+        np.asarray(st.ema["classifier"]["w"]),
+        np.asarray(st.params["classifier"]["w"]),
+    )
+
+    # npz round trip: EMA leaves ride at the tail of the flatten order
+    from csts_tpu.utils import checkpoint as cu
+
+    host = jax.tree_util.tree_map(np.asarray, st)
+    cu.save_checkpoint(str(tmp_path), host, epoch=0, cfg=cfg)
+    fresh, _ = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(1))
+    restored, _, _ = cu.load_train_checkpoint(
+        _cfg_with_output(cfg, str(tmp_path)), fresh
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema["classifier"]["w"]),
+        np.asarray(st.ema["classifier"]["w"]),
+    )
+
+    # EMA-off leaf count unchanged (old checkpoints stay loadable)
+    cfg_off = tiny_cfg()
+    state_off, _ = step_lib.create_train_state(cfg_off, spec, jax.random.PRNGKey(0))
+    n_on = len(jax.tree_util.tree_leaves(st))
+    n_off = len(jax.tree_util.tree_leaves(state_off))
+    n_params = len(jax.tree_util.tree_leaves(state_off.params))
+    assert n_on == n_off + n_params
+
+
+def _cfg_with_output(cfg, out_dir):
+    import copy
+
+    c = copy.deepcopy(cfg)
+    c.OUTPUT_DIR = out_dir
+    c.TRAIN.AUTO_RESUME = True
+    return c
+
+
+def test_tester_loads_ema_weights(tmp_path):
+    """TEST.USE_EMA: the tester's checkpoint chain returns the EMA leaves from
+    a TrainState npz (they ride at the tail of the flatten order)."""
+    from csts_tpu.eval.tester import _load_params
+    from csts_tpu.utils import checkpoint as cu
+
+    cfg = tiny_cfg()
+    cfg.SOLVER.EMA_DECAY = 0.9
+    spec = csts_lib.build_spec(cfg)
+    state, _ = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
+    # make the EMA distinguishable from the raw params
+    ema = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+    state = step_lib.TrainState(state.params, state.opt_state, state.step, ema)
+    host = jax.tree_util.tree_map(np.asarray, state)
+    cu.save_checkpoint(str(tmp_path), host, epoch=0, cfg=cfg)
+
+    cfg = _cfg_with_output(cfg, str(tmp_path))
+    cfg.TEST.USE_EMA = True
+    got = _load_params(cfg, spec, state.params)
+    np.testing.assert_array_equal(
+        np.asarray(got["classifier"]["w"]),
+        np.asarray(state.params["classifier"]["w"]) + 1.0,
+    )
+    cfg.TEST.USE_EMA = False
+    got_raw = _load_params(cfg, spec, state.params)
+    np.testing.assert_array_equal(
+        np.asarray(got_raw["classifier"]["w"]),
+        np.asarray(state.params["classifier"]["w"]),
+    )
+
+
 def test_bf16_moments_halve_mu_memory():
     """SOLVER.BF16_MOMENTS: Adam's first moment stores as bfloat16 (half the
     memory), the second stays fp32, and one update step stays within bf16
