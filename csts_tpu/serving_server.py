@@ -12,9 +12,11 @@ batched inference; this module turns it into an online service:
   dispatcher thread owns the device; requests may arrive from any thread.
 * :class:`GazeHTTPServer` — a stdlib ``ThreadingHTTPServer`` speaking
   npz-over-HTTP: ``POST /predict`` with an ``.npz`` body ``{video, audio}``
-  returns an ``.npz`` ``{heatmaps, gaze_xy}``; ``GET /healthz`` liveness;
-  ``GET /stats`` JSON service counters (request/batch counts, mean batch
-  occupancy, latency percentiles).
+  (video either preprocessed float32 (T, crop, crop, 3) or raw uint8 camera
+  frames (T, H, W, 3) — the latter are center-cropped/normalized server-side
+  with the predictor's constants) returns an ``.npz`` ``{heatmaps, gaze_xy}``;
+  ``GET /healthz`` liveness; ``GET /stats`` JSON service counters
+  (request/batch counts, mean batch occupancy, latency percentiles).
 
 Works with any predictor exposing ``predict(video, audio) -> dict`` and
 ``batch_sizes`` — the live :class:`GazePredictor` or the AOT
@@ -207,7 +209,12 @@ class _GazeHandler(BaseHTTPRequestHandler):
         try:
             length = int(self.headers.get("Content-Length", "0"))
             blob = np.load(io.BytesIO(self.rfile.read(length)))
-            fut = self.server.batcher.submit(blob["video"], blob["audio"])
+            video = blob["video"]
+            if video.dtype == np.uint8:
+                # raw camera frames (T, H, W, 3): center-crop + normalize with
+                # the predictor's own constants (GazePredictor.preprocess_frames)
+                video = self.server.batcher._pred.preprocess_frames(video)
+            fut = self.server.batcher.submit(video, blob["audio"])
             result = fut.result(timeout=self.server.request_timeout)
         except Exception as exc:  # noqa: BLE001 — surface as 400
             self._respond(400, str(exc).encode(), "text/plain")

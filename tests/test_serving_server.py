@@ -155,6 +155,21 @@ def test_http_roundtrip(predictor):
         )
         assert stats["requests"] >= 3 and stats["errors"] == 0
 
+        # raw uint8 camera frames: the server preprocesses with the
+        # predictor's own constants before batching
+        frames_u8 = rng.integers(0, 255, (FRAMES, 48, 64, 3), dtype=np.uint8)
+        _, audio0 = clips[0]
+        buf = io.BytesIO()
+        np.savez(buf, video=frames_u8, audio=audio0)
+        req = urllib.request.Request(
+            f"{base}/predict", data=buf.getvalue(), method="POST")
+        out = np.load(io.BytesIO(urllib.request.urlopen(req, timeout=300).read()))
+        direct_u8 = predictor.predict(
+            predictor.preprocess_frames(frames_u8)[None], audio0[None]
+        )
+        np.testing.assert_allclose(
+            out["heatmaps"], direct_u8["heatmaps"][0], atol=1e-6)
+
         # malformed body → 400, service stays alive
         req = urllib.request.Request(
             f"{base}/predict", data=b"not an npz", method="POST"
