@@ -390,15 +390,19 @@ def main(argv=None):
     p_stft = sub.add_parser("stft", help="wav dir -> log-power STFT .npy dir")
     p_stft.add_argument("--input", required=True)
     p_stft.add_argument("--output", required=True)
+    p_stft.add_argument("--workers", type=int, default=1,
+                        help="parallel worker processes (per-file fan-out)")
 
     p_audio = sub.add_parser("audio", help="extract 24kHz mono wav from clips")
     p_audio.add_argument("--input", required=True)
     p_audio.add_argument("--output", required=True)
+    p_audio.add_argument("--workers", type=int, default=1)
 
     p_pack = sub.add_parser("pack", help="decode clips to .frames.npy sidecars")
     p_pack.add_argument("--input", required=True)
     p_pack.add_argument("--short-side", type=int, default=320,
                         help="downscale so augmentation never upsamples (0 = keep)")
+    p_pack.add_argument("--workers", type=int, default=1)
 
     p_splits = sub.add_parser(
         "splits", help="emit train/test split CSVs + video-id list from a clip tree"
@@ -423,7 +427,26 @@ def main(argv=None):
 
     args = parser.parse_args(argv)
 
+    def _run_jobs(jobs):
+        """Per-file fan-out: the stft/audio/pack stages are embarrassingly
+        parallel over 10k+ clips (the reference preprocesses serially,
+        data/preprocess.py:307-353). --workers N uses a process pool (numpy
+        FFT and cv2 decode are CPU-bound); 1 keeps the serial order."""
+        if getattr(args, "workers", 1) <= 1:
+            for fn, fnargs, out in jobs:
+                fn(*fnargs)
+                print(out)
+            return
+        from concurrent.futures import ProcessPoolExecutor, as_completed
+
+        with ProcessPoolExecutor(max_workers=args.workers) as pool:
+            futs = {pool.submit(fn, *fnargs): out for fn, fnargs, out in jobs}
+            for fut in as_completed(futs):
+                fut.result()  # surface worker exceptions
+                print(futs[fut])
+
     if args.stage == "stft":
+        jobs = []
         for root, _, files in os.walk(args.input):
             for name in files:
                 if not name.endswith(".wav"):
@@ -431,9 +454,10 @@ def main(argv=None):
                 rel = os.path.relpath(os.path.join(root, name), args.input)
                 dst = os.path.join(args.output, rel.replace(".wav", ".npy"))
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                audio_stft_file(os.path.join(root, name), dst)
-                print(dst)
+                jobs.append((audio_stft_file, (os.path.join(root, name), dst), dst))
+        _run_jobs(jobs)
     elif args.stage == "audio":
+        jobs = []
         for root, _, files in os.walk(args.input):
             for name in files:
                 if not name.endswith(".mp4"):
@@ -441,14 +465,19 @@ def main(argv=None):
                 rel = os.path.relpath(os.path.join(root, name), args.input)
                 dst = os.path.join(args.output, rel.replace(".mp4", ".wav"))
                 os.makedirs(os.path.dirname(dst), exist_ok=True)
-                extract_audio(os.path.join(root, name), dst)
-                print(dst)
+                jobs.append((extract_audio, (os.path.join(root, name), dst), dst))
+        _run_jobs(jobs)
     elif args.stage == "pack":
+        jobs = []
         for root, _, files in os.walk(args.input):
             for name in files:
                 if not name.endswith(".mp4"):
                     continue
-                print(pack_clip(os.path.join(root, name), args.short_side or None))
+                src = os.path.join(root, name)
+                jobs.append(
+                    (pack_clip, (src, args.short_side or None), src + ".frames.npy")
+                )
+        _run_jobs(jobs)
     elif args.stage == "splits":
         test_videos = None
         if args.test_videos:
