@@ -115,6 +115,35 @@ def test_batcher_rejects_bad_shapes(predictor):
         batcher.submit(v, a)
 
 
+def test_batcher_with_mesh_predictor(predictor):
+    """The micro-batcher in front of the SPMD mesh predictor: requests coalesce
+    into batches that shard over the 8-device data axis, answers match the
+    single-device predictor — multi-chip online serving end to end."""
+    import jax
+
+    from csts_tpu.parallel import mesh as mesh_lib
+    from csts_tpu.serving import GazePredictor
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = mesh_lib.make_mesh(8)
+    sharded = GazePredictor(tiny_cfg(), predictor.params, batch_sizes=(8,), mesh=mesh)
+
+    rng = np.random.default_rng(4)
+    clips = [make_clip(rng) for _ in range(8)]
+    direct = predictor.predict(
+        np.stack([v for v, _ in clips]), np.stack([a for _, a in clips])
+    )
+    batcher = MicroBatcher(sharded, max_wait_ms=200.0)
+    try:
+        futs = [batcher.submit(*c) for c in clips]
+        results = [f.result(timeout=300) for f in futs]
+    finally:
+        batcher.close()
+    for i, res in enumerate(results):
+        np.testing.assert_allclose(res["heatmaps"], direct["heatmaps"][i], atol=1e-5)
+
+
 def test_http_roundtrip(predictor):
     """POST /predict (npz body) == direct predict; /healthz and /stats serve."""
     rng = np.random.default_rng(2)
