@@ -41,6 +41,10 @@ _PREEMPTED = threading.Event()
 # trained epoch. None = off.
 _PREEMPT_AFTER_ITERS = None
 
+# One-shot guard for the in-trainer profile capture (TRAIN.PROFILE_NUM_ITERS):
+# the trace window fires once per train() call, not once per epoch.
+_PROFILE_DONE = False
+
 
 def _install_preemption_handler() -> None:
     def handler(signum, frame):
@@ -54,6 +58,8 @@ def _install_preemption_handler() -> None:
 
 
 def train(cfg: Config) -> None:
+    global _PROFILE_DONE
+    _PROFILE_DONE = False
     setup_logging(cfg.OUTPUT_DIR)
     logger.info("Train with config:")
     logger.info(pprint.pformat(cfg.dump()))
@@ -222,13 +228,37 @@ def _train_epoch(
         iter(train_loader), lambda b: mesh_lib.shard_batch(mesh, b),
         depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
     )
+    global _PROFILE_DONE
+    prof_active = False
+    prof_end = cfg.TRAIN.PROFILE_START_ITER + cfg.TRAIN.PROFILE_NUM_ITERS
     for offset, batch in enumerate(prefetch):
         cur_iter = start_iter + offset  # absolute epoch iteration (RNG stream key)
+        if (
+            cfg.TRAIN.PROFILE_NUM_ITERS
+            and not _PROFILE_DONE
+            and cur_iter == cfg.TRAIN.PROFILE_START_ITER
+            and jax.process_index() == 0
+        ):
+            # in-trainer device trace (TRAIN.PROFILE_*): same format
+            # tools/profile_forward.py analyzes offline
+            import os as _os
+
+            jax.profiler.start_trace(_os.path.join(cfg.OUTPUT_DIR, "profile"))
+            prof_active = True
         meter.data_toc()
         rng = jax.random.fold_in(base_rng, cur_iter)
         state, stats, preds = train_step(state, batch, rng)
 
         loss = float(stats["loss"])
+        if prof_active and cur_iter + 1 >= prof_end:
+            # the float() above is the scalar-readback fence this transport needs
+            jax.profiler.stop_trace()
+            prof_active = False
+            _PROFILE_DONE = True
+            logger.info(
+                "Profiled iterations [%d, %d) to %s/profile",
+                cfg.TRAIN.PROFILE_START_ITER, prof_end, cfg.OUTPUT_DIR,
+            )
         lr = float(stats["lr"])
         step_lib.check_nan_loss(loss, cur_iter)
 
@@ -268,6 +298,9 @@ def _train_epoch(
             prefetch.close()
             break
 
+    if prof_active:  # epoch ended (or preempted) inside the trace window
+        jax.profiler.stop_trace()
+        _PROFILE_DONE = True
     if stopped_at is None:
         meter.log_epoch_stats(cur_epoch)
     meter.reset()

@@ -320,6 +320,27 @@ def test_two_view_test_pipeline(synthetic_root, tmp_path):
         assert np.isfinite(stats[k]), stats
 
 
+def test_trainer_profile_capture(synthetic_root, tmp_path):
+    """TRAIN.PROFILE_NUM_ITERS: the trainer captures a jax.profiler device
+    trace of the requested iteration window to OUTPUT_DIR/profile."""
+    from csts_tpu.train.trainer import train as run_train
+
+    out = str(tmp_path / "prof")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.TRAIN.PROFILE_START_ITER = 0
+    cfg.TRAIN.PROFILE_NUM_ITERS = 1
+    run_train(cfg)
+    prof_dir = os.path.join(out, "profile")
+    traces = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(prof_dir) for f in fs if f.endswith(".xplane.pb")
+    ]
+    assert traces, f"no trace under {prof_dir}"
+    assert os.path.getsize(traces[0]) > 0
+
+
 @pytest.mark.slow
 def test_fsdp_trainer_e2e(synthetic_root, tmp_path):
     """SOLVER.FSDP through the real trainer: params/moments shard over the data
