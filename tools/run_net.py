@@ -41,6 +41,13 @@ def main():
     cfg.NUM_SHARDS = args.num_shards
     cfg.SHARD_ID = args.shard_id
 
+    # Persistent XLA compile cache: a preemption-resume restart (or repeated
+    # eval) replays the same programs — make the recompile a disk read
+    # (CSTS_COMPCACHE=0 opts out; utils/compcache.py).
+    from csts_tpu.utils import compcache
+
+    compcache.enable()
+
     if args.num_shards > 1:
         import jax
 
