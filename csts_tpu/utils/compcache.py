@@ -21,10 +21,12 @@ from __future__ import annotations
 import os
 
 
-def enable(cache_dir: str | None = None) -> bool:
+def enable(cache_dir: str | None = None, min_compile_secs: float = 5.0) -> bool:
     """Enable the JAX persistent compilation cache. Returns True if configured.
 
     Call before the first jit compile (safe after backend init). Never raises.
+    ``min_compile_secs``: persistence threshold — the CPU test suite lowers it
+    (many distinct small programs) while on-chip tools keep the 5 s default.
     """
     if os.environ.get("CSTS_COMPCACHE", "1") == "0":
         return False
@@ -38,7 +40,7 @@ def enable(cache_dir: str | None = None) -> bool:
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # only persist compiles that are worth the disk round trip
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", min_compile_secs)
         try:  # renamed across jax versions; absence is fine
             jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
         except Exception:

@@ -26,6 +26,15 @@ jax.config.update("jax_platforms", "cpu")
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+from csts_tpu.utils import compcache  # noqa: E402
+
+# Persistent compile cache for the CPU suite: identical XLA programs recur
+# across test modules and across suite runs (the family configs are shared);
+# the cache keys on HLO so repeats become disk reads. CSTS_COMPCACHE=0 opts
+# out. The threshold is low — this box compiles the tiny train steps in
+# seconds each, hundreds of times per run.
+compcache.enable(min_compile_secs=1.0)
+
 
 @pytest.fixture
 def rng():
