@@ -80,13 +80,31 @@ class GazePredictor:
 
     @classmethod
     def from_checkpoint(
-        cls, cfg: Config, checkpoint_path: Optional[str] = None, **kwargs
+        cls, cfg: Config, checkpoint_path: Optional[str] = None,
+        use_ema: bool = False, **kwargs
     ) -> "GazePredictor":
+        """``use_ema``: serve the Polyak-averaged weights of an
+        ``SOLVER.EMA_DECAY`` training run (the npz must be a full TrainState
+        checkpoint saved with EMA on)."""
         params = csts_lib.csts_init(jax.random.PRNGKey(cfg.RNG_SEED), csts_lib.build_spec(cfg))
         if checkpoint_path:
             if checkpoint_path.endswith(".npz"):
-                params = cu.load_params_npz(checkpoint_path, params)
+                if use_ema:
+                    from csts_tpu.train import step as step_lib
+
+                    assert cfg.SOLVER.EMA_DECAY > 0, (
+                        "use_ema requires SOLVER.EMA_DECAY > 0 in the config "
+                        "(the TrainState template must carry the ema leaves)"
+                    )
+                    template, _ = step_lib.create_train_state(
+                        cfg, csts_lib.build_spec(cfg), jax.random.PRNGKey(cfg.RNG_SEED)
+                    )
+                    state, _ = cu.load_checkpoint(checkpoint_path, template)
+                    params = state.ema
+                else:
+                    params = cu.load_params_npz(checkpoint_path, params)
             else:
+                assert not use_ema, "use_ema needs a framework TrainState .npz"
                 params = cu.load_torch_weights(checkpoint_path, params)
         return cls(cfg, params, **kwargs)
 

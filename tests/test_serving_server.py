@@ -115,6 +115,37 @@ def test_batcher_rejects_bad_shapes(predictor):
         batcher.submit(v, a)
 
 
+def test_predictor_serves_ema_weights(tmp_path):
+    """GazePredictor.from_checkpoint(use_ema=True) loads the trailing EMA
+    leaves of an SOLVER.EMA_DECAY TrainState npz."""
+    import jax
+    import jax.numpy as jnp
+
+    from csts_tpu.models import csts as csts_lib
+    from csts_tpu.train import step as step_lib
+    from csts_tpu.utils import checkpoint as cu
+
+    cfg = tiny_cfg()
+    cfg.SOLVER.EMA_DECAY = 0.9
+    spec = csts_lib.build_spec(cfg)
+    state, _ = step_lib.create_train_state(cfg, spec, jax.random.PRNGKey(0))
+    ema = jax.tree_util.tree_map(lambda x: x + 1.0, state.params)
+    state = step_lib.TrainState(state.params, state.opt_state, state.step, ema)
+    host = jax.tree_util.tree_map(np.asarray, state)
+    path = cu.save_checkpoint(str(tmp_path), host, epoch=0, cfg=cfg)
+
+    pred = GazePredictor.from_checkpoint(cfg, path, use_ema=True, batch_sizes=(1,))
+    np.testing.assert_array_equal(
+        np.asarray(pred.params["classifier"]["w"]),
+        np.asarray(state.params["classifier"]["w"]) + 1.0,
+    )
+    pred_raw = GazePredictor.from_checkpoint(cfg, path, batch_sizes=(1,))
+    np.testing.assert_array_equal(
+        np.asarray(pred_raw.params["classifier"]["w"]),
+        np.asarray(state.params["classifier"]["w"]),
+    )
+
+
 def test_batcher_with_mesh_predictor(predictor):
     """The micro-batcher in front of the SPMD mesh predictor: requests coalesce
     into batches that shard over the 8-device data axis, answers match the

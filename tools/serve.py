@@ -29,6 +29,8 @@ def main() -> None:
     parser.add_argument("--port", type=int, default=8000)
     parser.add_argument("--buckets", type=int, nargs="+", default=[1, 8],
                         help="static batch buckets to compile (live-params mode)")
+    parser.add_argument("--use-ema", action="store_true",
+                        help="serve the EMA weights of an SOLVER.EMA_DECAY run")
     parser.add_argument("--max-wait-ms", type=float, default=5.0,
                         help="micro-batching window")
     parser.add_argument("opts", nargs=argparse.REMAINDER,
@@ -46,7 +48,8 @@ def main() -> None:
 
         cfg = load_config(args.cfg, args.opts)
         predictor = GazePredictor.from_checkpoint(
-            cfg, args.checkpoint, batch_sizes=tuple(args.buckets)
+            cfg, args.checkpoint, batch_sizes=tuple(args.buckets),
+            use_ema=args.use_ema,
         )
 
     server = GazeHTTPServer(
