@@ -166,6 +166,7 @@ class DevicePrefetcher:
         self._q: queue.Queue = queue.Queue(maxsize=depth)
         self._done = object()
         self._stop = threading.Event()
+        self._error = None
         self._thread = threading.Thread(target=self._run, daemon=True)
         self._thread.start()
 
@@ -175,6 +176,11 @@ class DevicePrefetcher:
                 if self._stop.is_set():
                     break
                 self._q.put(self._place(item))
+        except BaseException as exc:  # noqa: BLE001 — re-raised in __next__
+            # a decode/placement failure must surface in the consumer, not
+            # silently truncate the epoch (the iteration would otherwise just
+            # end and eval/train would report stats over a partial dataset)
+            self._error = exc
         finally:
             self._q.put(self._done)
 
@@ -197,5 +203,7 @@ class DevicePrefetcher:
     def __next__(self):
         item = self._q.get()
         if item is self._done:
+            if self._error is not None and not self._stop.is_set():
+                raise self._error
             raise StopIteration
         return item

@@ -104,13 +104,25 @@ def test(cfg: Config) -> dict:
     meter = TestGazeMeter(cfg.TEST.DATASET, num_views=num_views)
 
     with jax.sharding.set_mesh(mesh):
-        params = jax.device_put(params, mesh_lib.replicated(mesh))
+        if cfg.PARALLEL.MODEL > 1:
+            # tensor-parallel eval: the Megatron column/row rules shard the
+            # matmul weights over the model axis (same placement the trainer
+            # uses), instead of leaving the model axis idle
+            params = jax.tree_util.tree_map(
+                jax.device_put, params,
+                mesh_lib.param_sharding_rules(mesh, params, model_parallel=True),
+            )
+        else:
+            params = jax.device_put(params, mesh_lib.replicated(mesh))
+        # shard_batch_padded: a batch that does not divide the data axis (e.g.
+        # the test set's short final batch, or few clips on many chips) is
+        # padded for the SPMD forward and sliced back before metrics
         prefetch = loader_lib.DevicePrefetcher(
-            iter(test_loader), lambda b: mesh_lib.shard_batch(mesh, b),
+            iter(test_loader), lambda b: mesh_lib.shard_batch_padded(mesh, b),
             depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
         )
         meter.iter_tic()
-        for cur_iter, batch in enumerate(prefetch):
+        for cur_iter, (batch, true_n) in enumerate(prefetch):
             meter.data_toc()
             preds = eval_step(params, batch)
             preds_rescaled = metrics.minmax_rescale(preds)
@@ -120,8 +132,10 @@ def test(cfg: Config) -> dict:
             )
             meter.iter_toc()
             meter.update_stats(
-                np.asarray(preds_rescaled), np.asarray(batch["labels_hm"]),
-                np.asarray(batch["labels"]), indices=np.asarray(batch["index"]),
+                np.asarray(preds_rescaled)[:true_n],
+                np.asarray(batch["labels_hm"])[:true_n],
+                np.asarray(batch["labels"])[:true_n],
+                indices=np.asarray(batch["index"])[:true_n],
             )
             meter.log_iter_stats(cur_iter, cfg.LOG_PERIOD)
             meter.iter_tic()

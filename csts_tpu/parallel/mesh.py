@@ -158,6 +158,26 @@ def shard_batch(mesh: Mesh, batch):
     )
 
 
+def shard_batch_padded(mesh: Mesh, batch):
+    """Like :func:`shard_batch`, but pads the batch (repeating the last sample)
+    up to a data-axis multiple first. Returns ``(device_batch, true_n)`` — the
+    caller slices device outputs back to ``true_n`` before metrics. Eval-only:
+    the short FINAL batch of a test set rarely divides the chip count (the
+    reference sidesteps this with a dataset-divisibility assert,
+    test_avgaze_net.py:126; training keeps the hard divisibility contract)."""
+    import numpy as _np
+
+    dp = mesh.shape[DATA_AXIS]
+    n = next(iter(batch.values())).shape[0]
+    pad = (-n) % dp
+    if pad:
+        batch = {
+            k: _np.concatenate([v, _np.repeat(v[-1:], pad, axis=0)])
+            for k, v in batch.items()
+        }
+    return shard_batch(mesh, batch), n
+
+
 def replicate_params(mesh: Mesh, params):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), params)

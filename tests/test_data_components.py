@@ -266,3 +266,29 @@ def test_container_decode_backends_match_npy(tmp_path):
             want_levels = want.mean(axis=(1, 2, 3))
             np.testing.assert_allclose(got_levels, want_levels, atol=3.0), backend
         reader.close()
+
+
+def test_device_prefetcher_propagates_worker_errors():
+    """A decode/placement failure in the prefetch thread must surface in the
+    consumer (it used to end the iteration silently, truncating the epoch and
+    reporting metrics over a partial dataset)."""
+    import pytest as _pytest
+
+    from csts_tpu.data.loader import DevicePrefetcher
+
+    def bad_iter():
+        yield {"x": np.zeros(2)}
+        raise RuntimeError("decode exploded")
+
+    pf = DevicePrefetcher(bad_iter(), lambda b: b, depth=2)
+    assert next(iter(pf))["x"].shape == (2,)
+    with _pytest.raises(RuntimeError, match="decode exploded"):
+        next(iter(pf))
+
+    # close() still suppresses the in-flight error (intentional early stop)
+    def slow_bad():
+        yield {"x": np.zeros(1)}
+        raise RuntimeError("late")
+
+    pf2 = DevicePrefetcher(slow_bad(), lambda b: b, depth=1)
+    pf2.close()  # no raise

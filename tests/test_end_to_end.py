@@ -465,6 +465,23 @@ def test_full_frame_sliding_window(synthetic_root, tmp_path, monkeypatch):
     )
 
 
+def test_tester_tensor_parallel(synthetic_root, tmp_path):
+    """PARALLEL.MODEL=2 through the real tester: params shard over the model
+    axis (Megatron rules), metrics match the data-parallel run."""
+    from csts_tpu.eval.tester import test as run_test
+
+    out = str(tmp_path / "tp_eval")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    cfg.TRAIN.ENABLE = False
+    cfg.NUM_DEVICES = 8
+    stats_dp = run_test(cfg)
+    cfg.PARALLEL.MODEL = 2
+    stats_tp = run_test(cfg)
+    for k in ("f1", "recall", "precision", "auc"):
+        assert abs(stats_tp[k] - stats_dp[k]) < 1e-3, (k, stats_dp[k], stats_tp[k])
+
+
 def test_visualization_runner(synthetic_root, tmp_path):
     """run_visualization: test clips → per-frame pred/label overlays (+ fusion
     attention maps) on disk — the workflow the reference ships commented out
