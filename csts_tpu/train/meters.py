@@ -244,8 +244,24 @@ class TestGazeMeter:
     data_toc = TrainGazeMeter.data_toc
 
     def update_stats(self, preds, labels_hm, labels, indices=None):
-        if self.num_views == 1 or indices is None:
+        if indices is None:
             self.stream.update(preds, labels_hm, labels)
+            return
+        if self.num_views == 1:
+            # drop wrap-padded duplicates (the loader repeats leading samples
+            # to keep the final batch full, loader.py; the reference's torch
+            # loader emits a short batch instead — counting the repeats would
+            # bias the headline whole-test-set metric toward those clips)
+            fresh = np.asarray(
+                [int(i) not in self._done for i in np.asarray(indices)]
+            )
+            self._done.update(int(i) for i in np.asarray(indices))
+            if not fresh.all():
+                preds = np.asarray(preds)[fresh]
+                labels_hm = np.asarray(labels_hm)[fresh]
+                labels = np.asarray(labels)[fresh]
+            if len(np.asarray(preds)):
+                self.stream.update(preds, labels_hm, labels)
             return
         preds = np.asarray(preds)
         labels_hm = np.asarray(labels_hm)

@@ -172,6 +172,17 @@ def test_test_meter_multiview_ensemble(rng):
     p1 = plain.finalize()
     assert abs(r1["f1"] - p1["f1"]) < 1e-7
 
+    # wrap-padded duplicates in single-view mode must NOT bias the stream:
+    # feeding [all samples] then [samples 0..2 again] == feeding each once
+    m_dup = TestGazeMeter(dataset, num_views=1)
+    m_dup.update_stats(preds, labels_hm_v, labels_v, indices=np.arange(b))
+    m_dup.update_stats(
+        preds[:3], labels_hm_v[:3], labels_v[:3], indices=np.arange(3)
+    )
+    r_dup = m_dup.finalize_metrics()
+    for k in ("f1", "recall", "precision", "auc"):
+        assert abs(r_dup[k] - p1[k]) < 1e-7, (k, r_dup, p1)
+
 
 def test_auc_perfect_and_chance(rng):
     # peak exactly at the positives -> AUC 1; uniform prediction -> ~0.5
