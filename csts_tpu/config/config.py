@@ -428,6 +428,15 @@ def get_cfg() -> Config:
 
 
 def merge_from_dict(cfg: Config, d: dict) -> Config:
+    ignored = sorted(k for k in d if k in _IGNORED_SECTIONS)
+    if ignored:
+        import warnings
+
+        warnings.warn(
+            "Ignoring legacy PySlowFast config section(s) never executed by the "
+            f"CSTS paths: {', '.join(ignored)}",
+            stacklevel=2,
+        )
     d = {k: v for k, v in d.items() if k not in _IGNORED_SECTIONS}
     _merge_section(cfg, d, "")
     return cfg

@@ -6,6 +6,7 @@ the ``test_final`` JSON record — the headline number."""
 
 from __future__ import annotations
 
+import os
 import pprint
 
 import numpy as np
@@ -80,6 +81,26 @@ def _load_params(cfg: Config, spec, params):
     return cu.load_test_checkpoint(cfg, params)
 
 
+def _collect_results(results: dict, preds: np.ndarray, labels: np.ndarray, indices):
+    """Append one batch's per-row outputs, skipping wrap-padded duplicate rows
+    (the loader repeats leading samples to fill the final batch; each real
+    dataset row — one (clip, view) pair — has a unique index)."""
+    seen = set(int(i) for i in results["index"])
+    fresh = np.asarray([int(i) not in seen for i in indices])
+    if not fresh.any():
+        return
+    preds, labels, indices = preds[fresh], labels[fresh], np.asarray(indices)[fresh]
+    b, t, h, w = preds.shape
+    flat_idx = np.argmax(preds.reshape(b, t, h * w), axis=-1)
+    pred_xy = np.stack(
+        [(flat_idx % w + 0.5) / w, (flat_idx // w + 0.5) / h], axis=-1
+    ).astype(np.float32)
+    results["index"].extend(int(i) for i in indices)
+    results["pred_xy"].extend(pred_xy)
+    results["label_xy"].extend(labels[:, :, :2].astype(np.float32))
+    results["gaze_type"].extend(labels[:, :, 2].astype(np.int32))
+
+
 def test(cfg: Config) -> dict:
     setup_logging(cfg.OUTPUT_DIR)
     logger.info("Test with config:")
@@ -102,6 +123,18 @@ def test(cfg: Config) -> dict:
     assert len(test_loader.dataset) % num_views == 0
     eval_step = step_lib.make_eval_step(cfg, spec)
     meter = TestGazeMeter(cfg.TEST.DATASET, num_views=num_views)
+    # TEST.SAVE_RESULTS_PATH (defaults.py:166 — dead config in the reference's
+    # CSTS fork; its generic kinetics tester pickles [preds, labels]): here it
+    # saves the compact per-row outputs — predicted gaze trajectory (argmax of
+    # the rescaled heatmap, the serving.py convention), label xy + gaze type,
+    # and the dataset row index — as an .npz. Full heatmaps are deliberately
+    # not dumped (a real test set is GBs of (T,64,64) grids; use
+    # tools/visualize.py for per-clip heatmap inspection).
+    results = (
+        {"index": [], "pred_xy": [], "label_xy": [], "gaze_type": []}
+        if cfg.TEST.SAVE_RESULTS_PATH
+        else None
+    )
 
     with jax.sharding.set_mesh(mesh):
         if cfg.PARALLEL.MODEL > 1:
@@ -138,7 +171,25 @@ def test(cfg: Config) -> dict:
                 indices=np.asarray(batch["index"])[:true_n],
             )
             meter.log_iter_stats(cur_iter, cfg.LOG_PERIOD)
+            if results is not None:
+                _collect_results(
+                    results,
+                    np.asarray(preds_rescaled)[:true_n],
+                    np.asarray(batch["labels"])[:true_n],
+                    np.asarray(batch["index"])[:true_n],
+                )
             meter.iter_tic()
+
+    if results is not None and jax.process_index() == 0:
+        path = cfg.TEST.SAVE_RESULTS_PATH
+        if not os.path.isabs(path):
+            path = os.path.join(cfg.OUTPUT_DIR, path)
+        order = np.argsort(np.asarray(results["index"]))
+        np.savez(
+            path,
+            **{k: np.asarray(v)[order] for k, v in results.items()},
+        )
+        logger.info("Saved %d test results to %s", len(order), path)
 
     stats = meter.finalize_metrics()
     logger.info("Testing finished: %s", stats)

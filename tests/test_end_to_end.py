@@ -288,11 +288,20 @@ def test_train_and_test_end_to_end(synthetic_root, tmp_path):
     last = cu.get_last_checkpoint(out)
     assert "00002" in last
 
+    cfg.TEST.SAVE_RESULTS_PATH = "results.npz"
     stats = run_test(cfg)
     assert stats["_type"] == "test_final"
     for k in ("f1", "recall", "precision", "auc", "threshold"):
         assert np.isfinite(stats[k]), stats
     assert 0.0 <= stats["auc"] <= 1.0
+
+    # TEST.SAVE_RESULTS_PATH: one row per dataset row, deduped and index-sorted
+    res = np.load(os.path.join(out, "results.npz"))
+    assert list(res["index"]) == list(range(NUM_CLIPS))
+    assert res["pred_xy"].shape[0] == NUM_CLIPS and res["pred_xy"].shape[-1] == 2
+    assert res["pred_xy"].shape == res["label_xy"].shape
+    assert res["gaze_type"].shape == res["pred_xy"].shape[:2]
+    assert res["pred_xy"].min() >= 0.0 and res["pred_xy"].max() <= 1.0
 
 
 def test_two_view_test_pipeline(synthetic_root, tmp_path):
