@@ -86,7 +86,12 @@ def _collect_results(results: dict, preds: np.ndarray, labels: np.ndarray, indic
     (the loader repeats leading samples to fill the final batch; each real
     dataset row — one (clip, view) pair — has a unique index)."""
     seen = set(int(i) for i in results["index"])
-    fresh = np.asarray([int(i) not in seen for i in indices])
+    fresh = []
+    for i in indices:
+        i = int(i)
+        fresh.append(i not in seen)
+        seen.add(i)  # wrap-pad can duplicate a row WITHIN one batch too
+    fresh = np.asarray(fresh, bool)
     if not fresh.any():
         return
     preds, labels, indices = preds[fresh], labels[fresh], np.asarray(indices)[fresh]
@@ -130,11 +135,24 @@ def test(cfg: Config) -> dict:
     # and the dataset row index — as an .npz. Full heatmaps are deliberately
     # not dumped (a real test set is GBs of (T,64,64) grids; use
     # tools/visualize.py for per-clip heatmap inspection).
-    results = (
-        {"index": [], "pred_xy": [], "label_xy": [], "gaze_type": []}
-        if cfg.TEST.SAVE_RESULTS_PATH
-        else None
-    )
+    results = None
+    results_path = None
+    if cfg.TEST.SAVE_RESULTS_PATH:
+        results = {"index": [], "pred_xy": [], "label_xy": [], "gaze_type": []}
+        results_path = cfg.TEST.SAVE_RESULTS_PATH
+        if not os.path.isabs(results_path):
+            results_path = os.path.join(cfg.OUTPUT_DIR, results_path)
+        if not results_path.endswith(".npz"):
+            results_path += ".npz"  # np.savez appends it silently otherwise
+        # fail on an unwritable directory now, not after the full eval loop
+        os.makedirs(os.path.dirname(results_path) or ".", exist_ok=True)
+        if jax.process_count() > 1:
+            logger.warning(
+                "TEST.SAVE_RESULTS_PATH on a %d-host run: each host collects "
+                "only its own loader stripe and only process 0 saves — the npz "
+                "will hold ~1/%d of the dataset rows.",
+                jax.process_count(), jax.process_count(),
+            )
 
     with jax.sharding.set_mesh(mesh):
         if cfg.PARALLEL.MODEL > 1:
@@ -181,15 +199,12 @@ def test(cfg: Config) -> dict:
             meter.iter_tic()
 
     if results is not None and jax.process_index() == 0:
-        path = cfg.TEST.SAVE_RESULTS_PATH
-        if not os.path.isabs(path):
-            path = os.path.join(cfg.OUTPUT_DIR, path)
         order = np.argsort(np.asarray(results["index"]))
         np.savez(
-            path,
+            results_path,
             **{k: np.asarray(v)[order] for k, v in results.items()},
         )
-        logger.info("Saved %d test results to %s", len(order), path)
+        logger.info("Saved %d test results to %s", len(order), results_path)
 
     stats = meter.finalize_metrics()
     logger.info("Testing finished: %s", stats)

@@ -289,6 +289,9 @@ def test_train_and_test_end_to_end(synthetic_root, tmp_path):
     assert "00002" in last
 
     cfg.TEST.SAVE_RESULTS_PATH = "results.npz"
+    # batch 3 over 4 clips: the loader wrap-pads the final batch to [3, 0, 1],
+    # so rows 0/1 recur ACROSS batches — the cross-batch dedup path runs
+    cfg.TEST.BATCH_SIZE = 3
     stats = run_test(cfg)
     assert stats["_type"] == "test_final"
     for k in ("f1", "recall", "precision", "auc", "threshold"):
@@ -302,6 +305,16 @@ def test_train_and_test_end_to_end(synthetic_root, tmp_path):
     assert res["pred_xy"].shape == res["label_xy"].shape
     assert res["gaze_type"].shape == res["pred_xy"].shape[:2]
     assert res["pred_xy"].min() >= 0.0 and res["pred_xy"].max() <= 1.0
+
+    # batch 8 > dataset: ONE batch [0..3, 0..3] — duplicates land WITHIN the
+    # batch; also a suffix-less path in a not-yet-existing subdirectory
+    # (normalized to .npz, directory created up front)
+    cfg.TEST.BATCH_SIZE = 8
+    cfg.TEST.SAVE_RESULTS_PATH = "resdir/results_wide"
+    run_test(cfg)
+    res2 = np.load(os.path.join(out, "resdir", "results_wide.npz"))
+    assert list(res2["index"]) == list(range(NUM_CLIPS))
+    np.testing.assert_allclose(res2["label_xy"], res["label_xy"])
 
 
 def test_two_view_test_pipeline(synthetic_root, tmp_path):
