@@ -17,6 +17,7 @@ import numpy as np
 
 from csts_tpu.eval.metrics import StreamingF1
 from csts_tpu.utils.logging import log_json_stats
+from csts_tpu.utils.misc import mem_fields
 
 
 class Timer:
@@ -139,6 +140,7 @@ class TrainGazeMeter:
             "recall": self.recall.get_win_median(),
             "precision": self.precision.get_win_median(),
             "lr": self.lr,
+            **mem_fields(),
         }
         log_json_stats(stats)
 
@@ -152,6 +154,7 @@ class TrainGazeMeter:
             "recall": self.recall_total / n,
             "precision": self.precision_total / n,
             "lr": self.lr,
+            **mem_fields(with_ram=True),
         }
         log_json_stats(stats)
 
@@ -201,6 +204,7 @@ class ValGazeMeter:
             "f1": self.f1.get_win_median(),
             "recall": self.recall.get_win_median(),
             "precision": self.precision.get_win_median(),
+            **mem_fields(),
         })
 
     def log_epoch_stats(self, cur_epoch: int):
@@ -211,6 +215,7 @@ class ValGazeMeter:
             "f1": self.f1_total / n,
             "recall": self.recall_total / n,
             "precision": self.precision_total / n,
+            **mem_fields(with_ram=True),
         })
 
 
@@ -294,6 +299,7 @@ class TestGazeMeter:
             "_type": "test_iter",
             "cur_iter": cur_iter + 1,
             "dt": self.iter_timer.seconds(),
+            **mem_fields(),
         })
 
     def finalize_metrics(self) -> Dict:
@@ -301,7 +307,7 @@ class TestGazeMeter:
         for cid in sorted(self._pending):
             self._flush(cid)
         result = self.stream.finalize()
-        self.stats = {"_type": "test_final", **result}
+        self.stats = {"_type": "test_final", **result, **mem_fields(with_ram=True)}
         log_json_stats(self.stats)
         return self.stats
 

@@ -55,6 +55,48 @@ def log_model_info(params: Any, fn=None, example_args=()) -> Dict[str, float]:
     return stats
 
 
+def device_mem_usage() -> float:
+    """Peak device (HBM) memory in use, in GB (misc.py:53-61's gpu_mem_usage).
+
+    TPU backends report ``peak_bytes_in_use`` through ``device.memory_stats()``;
+    this is the signal that explains silent XLA rematerialisation under HBM
+    pressure (observed at train batch 16). Backends without allocator stats
+    (the CPU test platform) report 0.0 — the field stays present so log
+    consumers see a stable schema.
+    """
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+    except Exception:
+        return 0.0
+    b = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) or 0
+    return float(b) / 1024**3
+
+
+def cpu_mem_usage() -> tuple[float, float]:
+    """Host RAM (used_gb, total_gb) from /proc/meminfo (misc.py:64-75, sans
+    psutil — used = MemTotal - MemAvailable, the same accounting)."""
+    total = avail = 0
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    total = int(line.split()[1]) * 1024
+                elif line.startswith("MemAvailable:"):
+                    avail = int(line.split()[1]) * 1024
+    except OSError:
+        return 0.0, 0.0
+    return (total - avail) / 1024**3, total / 1024**3
+
+
+def mem_fields(with_ram: bool = False) -> Dict[str, str]:
+    """The memory fields every meter record carries (meters.py:283-310 schema:
+    per-iter records log device memory; epoch/final records add host RAM)."""
+    fields = {"device_mem": "{:.2f}G".format(device_mem_usage())}
+    if with_ram:
+        fields["RAM"] = "{:.2f}/{:.2f}G".format(*cpu_mem_usage())
+    return fields
+
+
 def is_eval_epoch(cfg, cur_epoch: int) -> bool:
     """(misc.py:207-221)"""
     if cur_epoch + 1 == cfg.SOLVER.MAX_EPOCH:

@@ -222,3 +222,47 @@ def test_cosine_lr_parity():
         ref = lr_ref.get_lr_at_epoch(ref_cfg, float(epoch))
         ours = float(lr_tpu.get_lr_at_epoch(cfg.SOLVER, float(epoch)))
         assert abs(ref - ours) < 1e-10, epoch
+
+
+def test_meter_records_carry_memory_fields(monkeypatch):
+    """Every meter record logs device memory; epoch/final records add host RAM
+    (the reference stamps gpu_mem/RAM into its json_stats, misc.py:53-75)."""
+    import re
+
+    from csts_tpu.train import meters as meters_lib
+    from csts_tpu.utils import misc
+
+    used, total = misc.cpu_mem_usage()
+    assert 0.0 < used <= total
+    assert misc.device_mem_usage() >= 0.0  # CPU backend: no allocator stats -> 0
+
+    records = []
+    monkeypatch.setattr(meters_lib, "log_json_stats", records.append)
+
+    cfg = get_cfg()
+    cfg.LOG_PERIOD = 1
+    cfg.SOLVER.MAX_EPOCH = 1
+    m = meters_lib.TrainGazeMeter(epoch_iters=1, cfg=cfg)
+    m.iter_tic()
+    m.data_toc()
+    m.iter_toc()
+    m.update_stats(0.5, 0.5, 0.5, 0.05, 1.0, 1e-4, 4)
+    m.log_iter_stats(0, 0)
+    m.log_epoch_stats(0)
+
+    it, ep = records
+    assert it["_type"] == "train_iter" and ep["_type"] == "train_epoch"
+    assert re.fullmatch(r"\d+\.\d\dG", it["device_mem"])
+    assert "RAM" not in it  # per-iter records stay lean, like the reference
+    assert re.fullmatch(r"\d+\.\d\d/\d+\.\d\dG", ep["RAM"])
+
+    records.clear()
+    tm = meters_lib.TestGazeMeter("ego4d_av_gaze")
+    preds = np.full((2, 2, 8, 8), 0.5, np.float32)
+    labels_hm = np.zeros((2, 2, 8, 8), np.float32)
+    labels_hm[:, :, 3, 3] = 0.5
+    labels = np.zeros((2, 2, 3), np.float32)
+    tm.update_stats(preds, labels_hm, labels)
+    final = tm.finalize_metrics()
+    assert re.fullmatch(r"\d+\.\d\dG", final["device_mem"])
+    assert re.fullmatch(r"\d+\.\d\d/\d+\.\d\dG", final["RAM"])
