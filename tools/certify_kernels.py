@@ -153,6 +153,12 @@ def main():
                  "uniform": 1.0 / npix}
 
     ok = finite and max_abs < 0.02 and (argmax_px <= 1 or peak_gap < 2e-3)
+    # Peaked-enough test: argmax is only a meaningful criterion when the map
+    # has a real peak. Random jax-init weights produce near-uniform heatmaps
+    # (peak ~1.7x uniform) whose argmax location is decided by 1e-6-level
+    # noise — annotate so a reader never mistakes a large argmax_px_delta in
+    # that lane for a kernel bug (the golden lane is the argmax proof).
+    argmax_binds = peak_prob["mean"] > 4.0 * peak_prob["uniform"]
     cert = {
         "ok": ok,
         "batch": args.batch,
@@ -161,7 +167,14 @@ def main():
         "device": str(jax.devices()[0]),
         "softmax_max_abs": max_abs,
         "logits_max_abs": logits_max_abs,
-        "argmax_px_delta": argmax_px,
+        "argmax_px_delta": argmax_px if argmax_binds else None,
+        "argmax_note": (
+            "argmax binds: heatmaps are peaked"
+            if argmax_binds
+            else "near-uniform heatmap (random-weight lane): argmax location is "
+                 "noise, decided by cross_peak_gap — see KERNEL_CERT_GOLDEN.json "
+                 "for the argmax proof on converted reference weights"
+        ),
         "cross_peak_gap": peak_gap,
         "ms_kernel": round(ms_kernel, 2),
         "ms_composite": round(ms_composite, 2),
