@@ -119,12 +119,52 @@ def install_stubs() -> None:
     env.checkpoint_pathmgr = _PathManager()
     env.setup_environment = lambda: None
 
-    # slowfast.utils.logging stub (model files only call get_logger)
+    # slowfast.utils.logging stub (model files only call get_logger; meters
+    # additionally call log_json_stats per record)
     import logging as _pylogging
 
     sf_logging = _stub_module("slowfast.utils.logging")
     sf_logging.get_logger = _pylogging.getLogger
     sf_logging.setup_logging = lambda *a, **k: None
+    sf_logging.log_json_stats = lambda *a, **k: None
+
+    # fvcore.common.timer.Timer (slowfast/utils/meters.py) — minimal
+    # perf_counter-based equivalent of the fvcore API the meters touch
+    import time as _time
+
+    fvcore_timer = _stub_module("fvcore.common.timer")
+
+    class _Timer:
+        def __init__(self):
+            self.reset()
+
+        def reset(self):
+            self._start = _time.perf_counter()
+            self._total = 0.0
+            self._paused = False
+
+        def pause(self):
+            if not self._paused:
+                self._total += _time.perf_counter() - self._start
+                self._paused = True
+
+        def resume(self):
+            self._start = _time.perf_counter()
+            self._paused = False
+
+        def seconds(self):
+            if self._paused:
+                return self._total
+            return self._total + (_time.perf_counter() - self._start)
+
+    fvcore_timer.Timer = _Timer
+    fvcore_common.timer = fvcore_timer
+
+    # slowfast.utils.misc stub — the real module drags psutil/matplotlib/
+    # fvcore.nn; the meters only touch its memory reporters
+    sf_misc = _stub_module("slowfast.utils.misc")
+    sf_misc.gpu_mem_usage = lambda: 0.0
+    sf_misc.cpu_mem_usage = lambda: (0.0, 0.0)
 
 
 _REF_CFG = None

@@ -288,6 +288,23 @@ def test_train_and_test_end_to_end(synthetic_root, tmp_path):
     last = cu.get_last_checkpoint(out)
     assert "00002" in last
 
+    # memory observability: every train_iter record carries device_mem, epoch
+    # records add RAM (the reference's gpu_mem/RAM json_stats fields)
+    with open(os.path.join(out, "stdout.log")) as f:
+        log_text = f.read()
+    iter_records = [
+        json.loads(line.split("json_stats: ", 1)[1])
+        for line in log_text.splitlines()
+        if "json_stats: " in line and '"train_iter"' in line
+    ]
+    assert iter_records and all("device_mem" in r for r in iter_records)
+    epoch_records = [
+        json.loads(line.split("json_stats: ", 1)[1])
+        for line in log_text.splitlines()
+        if "json_stats: " in line and '"train_epoch"' in line
+    ]
+    assert epoch_records and all("RAM" in r for r in epoch_records)
+
     cfg.TEST.SAVE_RESULTS_PATH = "results.npz"
     # batch 3 over 4 clips: the loader wrap-pads the final batch to [3, 0, 1],
     # so rows 0/1 recur ACROSS batches — the cross-batch dedup path runs
@@ -753,3 +770,94 @@ def test_train_and_test_under_parallel_axes(synthetic_root, tmp_path):
     assert stats["_type"] == "test_final"
     for k in ("f1", "recall", "precision", "auc", "threshold"):
         assert np.isfinite(stats[k]), stats
+
+
+@pytest.mark.slow
+def test_eval_loop_metric_parity_vs_oracle(synthetic_root, tmp_path):
+    """The COMPOSED eval loop vs the reference's test-loop protocol.
+
+    Logits (golden-256) and the metric function (unit) are parity-tested
+    separately; this closes the remaining seam — the loop composition. Our leg
+    is the full ``eval/tester.py`` driver (padded eval batches, wrap-pad
+    dedup, streaming finalize). The oracle leg replays the reference's
+    ``perform_test`` protocol (tools/test_avgaze_net.py:21-93) on the same
+    deterministic loader and the same jax forward: per-batch torch
+    frame_softmax -> min-max rescale -> TestGazeMeter append ->
+    concat-everything global adaptive_f1 finalize (slowfast/utils/
+    meters.py:86-146). Final f1/recall/precision/threshold must agree to 1e-6
+    (AUC is ours alone — the reference never computes it)."""
+    import torch
+
+    from reference_oracle import install_stubs
+
+    install_stubs()
+    from slowfast.utils import metrics as ref_metrics
+    from slowfast.utils.meters import TestGazeMeter as RefTestGazeMeter
+    from slowfast.utils.utils import frame_softmax as ref_frame_softmax
+
+    import jax
+
+    from csts_tpu.data import loader as loader_lib
+    from csts_tpu.eval.tester import test as run_test
+    from csts_tpu.models import csts as csts_lib
+
+    out = str(tmp_path / "oracle_loop")
+    os.makedirs(out)
+    cfg = make_e2e_cfg(synthetic_root, out)
+    cfg.TRAIN.ENABLE = False
+    cfg.TEST.BATCH_SIZE = 3  # 4 clips -> final batch wrap-pads [3, 0, 1]
+
+    # our leg: the real driver end-to-end (no checkpoint -> jax-init weights)
+    stats_ours = run_test(cfg)
+
+    # oracle leg: identical weights + loader; reference meter protocol
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(cfg.RNG_SEED), spec)
+    forward = jax.jit(
+        lambda p, v, a: csts_lib.csts_apply(p, spec, v, a, deterministic=True)
+    )
+    meter = RefTestGazeMeter(
+        num_videos=NUM_CLIPS, num_clips=1, num_cls=2, overall_iters=2,
+        dataset=cfg.TEST.DATASET,
+    )
+    seen = set()
+    meter.iter_tic()
+    for batch in loader_lib.construct_loader(cfg, "test"):
+        # the reference torch loader emits a SHORT final batch instead of our
+        # wrap-pad — drop the repeated rows to present it the same stream
+        fresh = []
+        for i in batch["index"]:
+            fresh.append(int(i) not in seen)
+            seen.add(int(i))
+        fresh = np.asarray(fresh, bool)
+        logits = np.asarray(forward(params, batch["video"], batch["audio"]))
+        # ours: (B, T, H, W, 1) -> reference layout (B, C=1, T, H, W)
+        preds_t = torch.from_numpy(
+            np.transpose(logits[fresh], (0, 4, 1, 2, 3)).astype(np.float32)
+        )
+        preds_t = ref_frame_softmax(preds_t, temperature=2)
+        flat = preds_t.view(preds_t.shape[:-2] + (-1,))
+        flat = (flat - flat.min(dim=-1, keepdim=True)[0]) / (
+            flat.max(dim=-1, keepdim=True)[0]
+            - flat.min(dim=-1, keepdim=True)[0] + 1e-6
+        )
+        preds_rescale = flat.view(preds_t.shape)
+        labels_hm_t = torch.from_numpy(batch["labels_hm"][fresh])
+        labels_t = torch.from_numpy(batch["labels"][fresh])
+        f1, recall, precision, _ = ref_metrics.adaptive_f1(
+            preds_rescale, labels_hm_t, labels_t, dataset=cfg.TEST.DATASET
+        )
+        meter.iter_toc()
+        meter.update_stats(
+            f1, recall, precision,
+            preds=preds_rescale, labels_hm=labels_hm_t, labels=labels_t,
+        )
+        meter.iter_tic()
+    meter.finalize_metrics()
+
+    assert seen == set(range(NUM_CLIPS))
+    for key in ("f1", "recall", "precision", "threshold"):
+        ref_val = float(meter.stats[key])
+        assert abs(stats_ours[key] - ref_val) < 1e-6, (
+            key, stats_ours[key], ref_val)
+    assert 0.0 <= stats_ours["auc"] <= 1.0
