@@ -17,6 +17,7 @@ from csts_tpu.config import Config
 from csts_tpu.data import loader as loader_lib
 from csts_tpu.eval import metrics
 from csts_tpu.models import csts as csts_lib
+from csts_tpu.parallel import collectives
 from csts_tpu.parallel import mesh as mesh_lib
 from csts_tpu.train import step as step_lib
 from csts_tpu.train.meters import TestGazeMeter
@@ -106,6 +107,23 @@ def _collect_results(results: dict, preds: np.ndarray, labels: np.ndarray, indic
     results["gaze_type"].extend(labels[:, :, 2].astype(np.int32))
 
 
+def _merge_host_results(per_host: list) -> dict:
+    """Merge per-host result stripes (list of the _collect_results dicts) into
+    one, keeping the first occurrence of each dataset row index — the loader's
+    per-host striping wrap-pads each stripe independently, so a row can recur
+    across hosts."""
+    merged = {k: [] for k in per_host[0]}
+    seen = set()
+    for host_results in per_host:
+        fresh = []
+        for i in host_results["index"]:
+            fresh.append(int(i) not in seen)
+            seen.add(int(i))
+        for key, vals in host_results.items():
+            merged[key].extend(v for v, f in zip(vals, fresh) if f)
+    return merged
+
+
 def test(cfg: Config) -> dict:
     setup_logging(cfg.OUTPUT_DIR)
     logger.info("Test with config:")
@@ -146,13 +164,6 @@ def test(cfg: Config) -> dict:
             results_path += ".npz"  # np.savez appends it silently otherwise
         # fail on an unwritable directory now, not after the full eval loop
         os.makedirs(os.path.dirname(results_path) or ".", exist_ok=True)
-        if jax.process_count() > 1:
-            logger.warning(
-                "TEST.SAVE_RESULTS_PATH on a %d-host run: each host collects "
-                "only its own loader stripe and only process 0 saves — the npz "
-                "will hold ~1/%d of the dataset rows.",
-                jax.process_count(), jax.process_count(),
-            )
 
     with jax.sharding.set_mesh(mesh):
         if cfg.PARALLEL.MODEL > 1:
@@ -198,13 +209,19 @@ def test(cfg: Config) -> dict:
                 )
             meter.iter_tic()
 
-    if results is not None and jax.process_index() == 0:
-        order = np.argsort(np.asarray(results["index"]))
-        np.savez(
-            results_path,
-            **{k: np.asarray(v)[order] for k, v in results.items()},
-        )
-        logger.info("Saved %d test results to %s", len(order), results_path)
+    if results is not None:
+        if jax.process_count() > 1:
+            # each host collected only its own loader stripe (loader.py
+            # per-host striping); merge them so the npz holds the full set,
+            # deduping stripe-pad repeats by dataset row index
+            results = _merge_host_results(collectives.gather_objects(results))
+        if jax.process_index() == 0:
+            order = np.argsort(np.asarray(results["index"]))
+            np.savez(
+                results_path,
+                **{k: np.asarray(v)[order] for k, v in results.items()},
+            )
+            logger.info("Saved %d test results to %s", len(order), results_path)
 
     stats = meter.finalize_metrics()
     logger.info("Testing finished: %s", stats)

@@ -861,3 +861,17 @@ def test_eval_loop_metric_parity_vs_oracle(synthetic_root, tmp_path):
         assert abs(stats_ours[key] - ref_val) < 1e-6, (
             key, stats_ours[key], ref_val)
     assert 0.0 <= stats_ours["auc"] <= 1.0
+
+
+def test_merge_host_results_dedupes_across_stripes():
+    """Multi-host TEST.SAVE_RESULTS_PATH: per-host stripes are object-gathered
+    and merged keeping first occurrence per dataset row (each host's stripe
+    wrap-pads independently, so rows recur across hosts)."""
+    from csts_tpu.eval.tester import _merge_host_results
+
+    host0 = {"index": [0, 2, 4], "pred_xy": ["a0", "a2", "a4"]}
+    host1 = {"index": [1, 3, 1], "pred_xy": ["b1", "b3", "b1dup"]}
+    host2 = {"index": [5, 0], "pred_xy": ["c5", "c0dup"]}
+    merged = _merge_host_results([host0, host1, host2])
+    assert merged["index"] == [0, 2, 4, 1, 3, 5]
+    assert merged["pred_xy"] == ["a0", "a2", "a4", "b1", "b3", "c5"]
