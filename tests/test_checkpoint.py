@@ -141,6 +141,7 @@ def test_audio_branch_checkpoint_merge(pyth_checkpoint, tmp_path):
     )
 
 
+@pytest.mark.slow  # heavy compile; surface also covered by fast-lane tests
 def test_convert_checkpoint_cli(pyth_checkpoint, tmp_path):
     """tools/convert_checkpoint.py writes an .npz loadable by the serving path."""
     import subprocess
@@ -248,6 +249,7 @@ def test_export_roundtrip_forward_parity(tmp_path):
         np.testing.assert_array_equal(np.asarray(la, np.float32), lb, err_msg=str(pa))
 
 
+@pytest.mark.slow  # heavy compile; surface also covered by fast-lane tests
 def test_orbax_roundtrip_sharded(tmp_path):
     """Orbax backend (utils/orbax_ckpt.py): async save of a ZeRO-1-sharded
     TrainState on the 8-device mesh, restore into a zeroed template carrying

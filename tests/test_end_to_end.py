@@ -359,6 +359,7 @@ def test_two_view_test_pipeline(synthetic_root, tmp_path):
         assert np.isfinite(stats[k]), stats
 
 
+@pytest.mark.slow  # heavy compile; surface also covered by fast-lane tests
 def test_trainer_profile_capture(synthetic_root, tmp_path):
     """TRAIN.PROFILE_NUM_ITERS: the trainer captures a jax.profiler device
     trace of the requested iteration window to OUTPUT_DIR/profile."""

@@ -399,6 +399,7 @@ def test_mlp_tail_train_gradients(rng, dim, dim_out):
         )
 
 
+@pytest.mark.slow  # heavy compile; surface also covered by fast-lane tests
 def test_model_train_grads_with_fused_tail(rng, monkeypatch):
     """Tiny CSTS family model, TRAINING mode: loss + grads through the fused
     stored-residual tail == composite. DROPPATH_RATE=0 so the two paths draw no

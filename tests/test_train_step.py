@@ -463,6 +463,7 @@ def test_fsdp_matches_replicated(setup):
     assert qkv.sharding.shard_shape(qkv.shape) != qkv.shape
 
 
+@pytest.mark.slow  # heavy compile; surface also covered by fast-lane tests
 def test_lr_follows_cosine_schedule(setup):
     cfg, spec, fresh_state, tx, train_step = setup
     state = fresh_state()
