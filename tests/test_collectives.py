@@ -5,7 +5,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from csts_tpu.parallel import collectives as coll
 from csts_tpu.parallel import mesh as mesh_lib
@@ -24,7 +24,7 @@ def test_all_reduce_and_gather_in_shard_map():
         body, mesh=mesh,
         in_specs=P(mesh_lib.DATA_AXIS),
         out_specs=(P(mesh_lib.DATA_AXIS), P()),
-        check_rep=False,
+        check_vma=False,
     )
     mean, gathered = f(x)
     # each shard holds one row; pmean of per-shard sums == mean of row-sums
@@ -45,7 +45,7 @@ def test_all_gather_is_differentiable():
             return jnp.sum(g * jnp.arange(8.0)) / 8.0
 
         f = shard_map(body, mesh=mesh, in_specs=P(mesh_lib.DATA_AXIS), out_specs=P(),
-                      check_rep=False)
+                      check_vma=False)
         return f(xs)
 
     g = jax.grad(loss)(x)
