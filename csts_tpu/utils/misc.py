@@ -61,14 +61,26 @@ def device_mem_usage() -> float:
     TPU backends report ``peak_bytes_in_use`` through ``device.memory_stats()``;
     this is the signal that explains silent XLA rematerialisation under HBM
     pressure (observed at train batch 16). Backends without allocator stats
-    (the CPU test platform) report 0.0 — the field stays present so log
-    consumers see a stable schema.
+    (the CPU test platform, and relayed TPU transports that forward
+    ``memory_stats() = None``) fall back to summing live device buffers —
+    bytes currently held, not a peak, but a real signal instead of 0.0.
+    The field is always present so log consumers see a stable schema.
     """
     try:
-        stats = jax.local_devices()[0].memory_stats() or {}
+        dev = jax.local_devices()[0]
+        stats = dev.memory_stats() or {}
     except Exception:
         return 0.0
     b = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) or 0
+    if not b:
+        try:
+            b = sum(
+                x.nbytes // max(len(x.devices()), 1)
+                for x in jax.live_arrays()
+                if dev in x.devices()
+            )
+        except Exception:
+            b = 0
     return float(b) / 1024**3
 
 
