@@ -610,7 +610,7 @@ def test_serving_export_roundtrip(synthetic_root, tmp_path):
     assert reloaded.preprocess_frames(frames_u8).shape == (8, CROP, CROP, 3)
 
 
-def make_aria_synthetic(root):
+def make_aria_synthetic(root, n_clips=2):
     """Aria layout: clips/<vid>/<clip>_t{s}_t{e-1}.mp4, 100 frames @20fps, audio under
     clips.audio_24kHz_stft, labels <vid>.csv with 2-column offset."""
     rng = np.random.default_rng(1)
@@ -622,7 +622,7 @@ def make_aria_synthetic(root):
     os.makedirs(os.path.join(root, "splits"), exist_ok=True)
 
     rel_paths = []
-    for c in range(2):
+    for c in range(n_clips):
         t0 = c * 2
         clip = f"clip{c:02d}_t{t0}_t{t0 + 4}.mp4"
         rel = f"{vid}/{clip}"
@@ -666,6 +666,38 @@ def test_aria_forecast_dataset(tmp_path):
     np.testing.assert_array_equal(sample["meta"]["labels_index"], expected)
     # observed window confined to the first 60 frames
     assert sample["meta"]["index"].max() - 2 * 20 <= 59
+
+
+def test_aria_end_to_end_train_and_test(tmp_path):
+    """Full train + eval loop on the ARIA forecast variant (the e2e lane is
+    otherwise Ego4D-only): 20 fps clips under `clips/`, audio under the
+    `clips.audio_24kHz_stft` rule, 2-column label offset, observe-60 +
+    SAMPLING_RATE label gap, and the Aria adaptive-threshold grid
+    (linspace(0, 0.02, 21), reference metrics.py:39) — all through the real
+    trainer and tester."""
+    from csts_tpu.eval.tester import test as run_test
+    from csts_tpu.train import trainer
+
+    root = str(tmp_path / "aria")
+    os.makedirs(root)
+    make_aria_synthetic(root, n_clips=4)
+    out = str(tmp_path / "out")
+    cfg = make_e2e_cfg(root, out)
+    cfg.DATA.PATH_PREFIX = os.path.join(root, "clips")
+    cfg.DATA.PATH_TO_DATA_DIR = os.path.join(root, "splits")
+    cfg.DATA.SAMPLING_RATE = 4
+    cfg.DATA.TARGET_FPS = 20
+    cfg.TRAIN.DATASET = "aria_av_gaze_forecast"
+    cfg.TEST.DATASET = "aria_av_gaze_forecast"
+    cfg.SOLVER.MAX_EPOCH = 1
+    cfg.finalize()
+
+    trainer.train(cfg)
+    stats = run_test(cfg)
+    assert stats["_type"] == "test_final"
+    assert np.isfinite(stats["f1"]) and 0.0 <= stats["auc"] <= 1.0
+    # the Aria threshold grid tops out at 0.02 (Ego4D's starts at 0.01)
+    assert 0.0 <= stats["threshold"] <= 0.02
 
 
 def test_run_net_cli(synthetic_root, tmp_path):
