@@ -668,6 +668,31 @@ def test_aria_forecast_dataset(tmp_path):
     assert sample["meta"]["index"].max() - 2 * 20 <= 59
 
 
+def test_dataset_retry_replaces_corrupt_clip(tmp_path):
+    """The failure-recovery retry loop (reference ego4d_avgaze.py:213-231,
+    SURVEY §5 row 3): a clip whose data is unreadable is retried, then — in
+    train mode, after half the retries — replaced by a random other clip; in
+    test mode it stays a hard error so eval never silently drops rows."""
+    from csts_tpu.data.datasets import build_dataset
+
+    root = str(tmp_path / "ds")
+    os.makedirs(root)
+    make_synthetic_dataset(root)
+    cfg = make_e2e_cfg(root, str(tmp_path / "out"))
+
+    ds = build_dataset("ego4d_av_gaze_forecast", cfg, "train")
+    corrupt = ds._path_to_videos[0] + ".frames.npy"
+    os.remove(corrupt)
+
+    sample = ds.__getitem__(0, rng=np.random.default_rng(3))
+    assert sample["video"].shape == (8, CROP, CROP, 3)  # replaced, not crashed
+    assert sample["index"] != 0  # the returned row is the replacement clip
+
+    ds_test = build_dataset("ego4d_av_gaze_forecast", cfg, "test")
+    with pytest.raises(RuntimeError, match="Failed to fetch"):
+        ds_test.__getitem__(0, rng=np.random.default_rng(3))
+
+
 def test_aria_end_to_end_train_and_test(tmp_path):
     """Full train + eval loop on the ARIA forecast variant (the e2e lane is
     otherwise Ego4D-only): 20 fps clips under `clips/`, audio under the
