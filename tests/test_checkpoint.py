@@ -383,3 +383,50 @@ def test_mid_epoch_checkpoint_naming_and_recency(tmp_path):
     p0 = cu.save_checkpoint(out, state, epoch=-1, iter_idx=1)
     assert os.path.basename(p0) == "checkpoint_epoch_00000_iter_0000001.npz"
     assert cu.get_last_checkpoint(out) == p_done
+
+
+def test_inspect_checkpoint_cli(tmp_path, capsys):
+    """tools/inspect_checkpoint.py names flat npz leaves via the model spec
+    (jax.eval_shape, no init compute) and prints sidecar metadata + totals."""
+    import importlib.util
+    import json as json_lib
+    import sys
+
+    import yaml
+
+    cfg = get_cfg()
+    cfg.DATA.TRAIN_CROP_SIZE = cfg.DATA.TEST_CROP_SIZE = 32
+    cfg.DATA.AUDIO_FREQ_BINS = cfg.DATA.AUDIO_WINDOW = 32
+    cfg.MVIT.PATCH_PADDING = [1, 3, 3]
+    cfg.MVIT.CLS_EMBED_ON = False
+    cfg.MVIT.SEP_POS_EMBED = True
+    cfg.MVIT.DEPTH = 4
+    cfg.MVIT.EMBED_DIM = 16
+    cfg.MVIT.DIM_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.HEAD_MUL = [[1, 2.0], [2, 2.0], [3, 2.0]]
+    cfg.MVIT.POOL_KVQ_KERNEL = [3, 3, 3]
+    cfg.MVIT.POOL_KV_STRIDE_ADAPTIVE = [1, 8, 8]
+    cfg.MVIT.POOL_Q_STRIDE = [[1, 1, 2, 2], [2, 1, 2, 2], [3, 1, 2, 2]]
+
+    spec = csts_lib.build_spec(cfg)
+    params = csts_lib.csts_init(jax.random.PRNGKey(0), spec)
+    path = cu.save_checkpoint(str(tmp_path), params, epoch=2, cfg=cfg)
+    # json round-trip turns dataclass tuples into yaml-safe lists
+    cfg_yaml = tmp_path / "cfg.yaml"
+    cfg_yaml.write_text(yaml.safe_dump(json_lib.loads(json_lib.dumps(cfg.dump()))))
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tools", "inspect_checkpoint.py")
+    spec_mod = importlib.util.spec_from_file_location("inspect_ckpt", tool)
+    mod = importlib.util.module_from_spec(spec_mod)
+    sys.modules["inspect_ckpt"] = mod
+    spec_mod.loader.exec_module(mod)
+    try:
+        mod.inspect_npz(path, cfg_path=str(cfg_yaml), full=True)
+    finally:
+        sys.modules.pop("inspect_ckpt", None)
+    out = capsys.readouterr().out
+    assert "epoch=2" in out
+    assert "blocks" in out and "decode_block4" in out  # named via the spec
+    assert "M elements" in out and "float32=" in out
+    assert "WARNING" not in out  # every leaf shape matched the cfg's model
