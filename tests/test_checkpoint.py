@@ -430,3 +430,42 @@ def test_inspect_checkpoint_cli(tmp_path, capsys):
     assert "blocks" in out and "decode_block4" in out  # named via the spec
     assert "M elements" in out and "float32=" in out
     assert "WARNING" not in out  # every leaf shape matched the cfg's model
+
+
+def test_average_checkpoints_cli(tmp_path):
+    """tools/average_checkpoints.py: param leaves mean in fp64 then cast back,
+    optimizer-state leaves taken from the last input, sidecar carried over."""
+    import importlib.util
+    import subprocess
+    import sys
+
+    # TrainState-like: params (a, b) + optimizer leaf (opt); flatten order is key-sorted
+    s1 = {"a": np.full((2, 2), 1.0, np.float32), "b": np.full((3,), 2.0, np.float16),
+          "opt": np.array([1.0, 1.0], np.float32)}
+    s2 = {"a": np.full((2, 2), 3.0, np.float32), "b": np.full((3,), 4.0, np.float16),
+          "opt": np.array([5.0, 5.0], np.float32)}
+    p1 = cu.save_checkpoint(str(tmp_path / "r1"), s1, epoch=0)
+    p2 = cu.save_checkpoint(str(tmp_path / "r2"), s2, epoch=1)
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tools", "average_checkpoints.py")
+    spec_mod = importlib.util.spec_from_file_location("avg_ckpt", tool)
+    mod = importlib.util.module_from_spec(spec_mod)
+    spec_mod.loader.exec_module(mod)
+
+    out = str(tmp_path / "soup.npz")
+    total, averaged = mod.average([p1, p2], out, n_params=2)
+    assert (total, averaged) == (3, 2)
+    blob = np.load(out)
+    keys = sorted(blob.files)
+    np.testing.assert_array_equal(blob[keys[0]], np.full((2, 2), 2.0, np.float32))
+    assert blob[keys[1]].dtype == np.float16
+    np.testing.assert_array_equal(blob[keys[1]], np.full((3,), 3.0, np.float16))
+    np.testing.assert_array_equal(blob[keys[2]], s2["opt"])  # last ckpt, unaveraged
+    meta = cu.checkpoint_meta(out)
+    assert meta["epoch"] == 1 and len(meta["averaged_from"]) == 2
+
+    # the real CLI, params-only mode (no --cfg: every leaf averaged)
+    r = subprocess.run([sys.executable, tool, p1, p2, "--output", str(tmp_path / "cli.npz")],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0 and "averaged 3/3 leaves" in r.stdout, r.stderr
