@@ -383,6 +383,77 @@ def write_splits(
 # ----------------------------------------------------------------------------------
 
 
+def check_data_tree(prefix: str, data_dir: str, dataset: str) -> dict:
+    """Validate a prepared data tree against its split manifests BEFORE training.
+
+    For every clip named by the variant's train/test CSVs, verifies what the
+    dataset will need at runtime (``datasets.py`` `_construct`/`__getitem__`):
+    a video source (container or packed ``.frames.npy`` + ``.meta.json``), the
+    audio STFT ``.npy`` under the variant's audio path rule, the per-video
+    gaze label file, and — when a packed clip's frame count is cheap to read
+    (npy header only) — that the label file covers the clip's global frame
+    range. Returns ``{"clips", "videos", "problems"}``; the CLI stage exits
+    nonzero on any problem. The reference has no such tool — its failure mode
+    is a mid-epoch crash in a loader worker.
+    """
+    from csts_tpu.data.datasets import _VARIANTS
+
+    variant = _VARIANTS[dataset]
+    root = os.path.dirname(prefix)
+    problems: List[str] = []
+    clips = 0
+    label_rows: dict = {}  # video_name -> row count (or -1 if missing)
+    for csv_name in sorted({variant.train_csv, variant.test_csv}):
+        manifest = os.path.join(data_dir, csv_name)
+        if not os.path.exists(manifest):
+            problems.append(f"missing split manifest {manifest}")
+            continue
+        with open(manifest) as f:
+            rels = [r for r in f.read().splitlines() if r]
+        if not rels:
+            problems.append(f"empty split manifest {manifest}")
+        for rel in rels:
+            clips += 1
+            vpath = os.path.join(prefix, rel)
+            has_container = os.path.exists(vpath)
+            packed = vpath + ".frames.npy"
+            has_npy = os.path.exists(packed)
+            if not (has_container or has_npy):
+                problems.append(f"{rel}: no video container or packed .frames.npy")
+            if has_npy and not os.path.exists(vpath + ".meta.json"):
+                problems.append(f"{rel}: packed frames without .meta.json (fps/pts)")
+
+            src, dst = variant.audio_rule
+            apath = vpath.replace(src, dst).replace(".mp4", ".npy")
+            if not os.path.exists(apath):
+                problems.append(f"{rel}: missing audio STFT {os.path.relpath(apath, root)}")
+
+            video_name = rel.split("/")[-2] if "/" in rel else ""
+            if video_name not in label_rows:
+                lpath = os.path.join(root, "gaze_frame_label", video_name + variant.label_suffix)
+                if os.path.exists(lpath):
+                    with open(lpath) as f:
+                        label_rows[video_name] = sum(1 for _ in f) - 1  # minus header
+                else:
+                    label_rows[video_name] = -1
+                    problems.append(f"{video_name}: missing gaze label file {lpath}")
+
+            window = parse_clip_window(rel)
+            if has_npy and label_rows.get(video_name, -1) >= 0 and window:
+                meta_path = vpath + ".meta.json"
+                if os.path.exists(meta_path):
+                    with open(meta_path) as f:
+                        fps = json.load(f).get("fps", 0)
+                    n_frames = np.load(packed, mmap_mode="r").shape[0]
+                    needed = int(window[0] * fps) + n_frames
+                    if fps and label_rows[video_name] < needed:
+                        problems.append(
+                            f"{rel}: label file has {label_rows[video_name]} rows but the "
+                            f"clip's global frame range ends at {needed}"
+                        )
+    return {"clips": clips, "videos": len(label_rows), "problems": problems}
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(description="CSTS-TPU offline preprocessing")
     sub = parser.add_subparsers(dest="stage", required=True)
@@ -417,6 +488,18 @@ def main(argv=None):
     p_splits.add_argument("--seed", type=int, default=42)
     p_splits.add_argument("--untracked-csv", default=None,
                           help="ego4d_gaze_untracked.csv — drop clips overlapping untracked gaze")
+
+    p_check = sub.add_parser(
+        "check", help="validate a prepared data tree against its split manifests"
+    )
+    p_check.add_argument("--prefix", required=True, help="DATA.PATH_PREFIX (the clip tree)")
+    p_check.add_argument("--data-dir", required=True, help="DATA.PATH_TO_DATA_DIR (split CSVs)")
+    p_check.add_argument(
+        "--dataset", required=True,
+        choices=("ego4d_av_gaze", "ego4d_av_gaze_forecast", "aria_av_gaze", "aria_av_gaze_forecast"),
+        help="TRAIN/TEST.DATASET name (fixes the audio path rule + label format)",
+    )
+    p_check.add_argument("--max-print", type=int, default=20)
 
     p_trim = sub.add_parser("trim", help="cut source videos into 5s clips")
     p_trim.add_argument("--input", required=True)
@@ -494,6 +577,19 @@ def main(argv=None):
             print(path)
         print(f"# {len(train_rels)} train / {len(test_rels)} test clips over {len(ids)} videos",
               file=sys.stderr)
+    elif args.stage == "check":
+        report = check_data_tree(args.prefix, args.data_dir, args.dataset)
+        for p in report["problems"][: args.max_print]:
+            print(f"PROBLEM: {p}")
+        extra = len(report["problems"]) - args.max_print
+        if extra > 0:
+            print(f"... and {extra} more")
+        print(
+            f"# {report['clips']} manifest clips over {report['videos']} videos: "
+            f"{len(report['problems'])} problem(s)",
+            file=sys.stderr,
+        )
+        return 1 if report["problems"] else 0
     elif args.stage == "trim":
         untracked = parse_untracked_csv(args.untracked_csv) if args.untracked_csv else {}
         for name in sorted(os.listdir(args.input)):

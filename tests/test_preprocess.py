@@ -158,3 +158,45 @@ def test_stft_stage_parallel_workers(tmp_path):
         a = np.load(out_serial / f"c{i}.npy")
         b = np.load(out_par / f"c{i}.npy")
         np.testing.assert_array_equal(a, b)
+
+
+def test_check_stage(tmp_path):
+    """`preprocess check`: a freshly built synthetic tree validates clean; each
+    class of damage (missing video / audio / labels) is reported and flips the
+    CLI exit code."""
+    from test_end_to_end import make_aria_synthetic, make_synthetic_dataset
+
+    from csts_tpu.data.preprocess import check_data_tree, main
+
+    root = str(tmp_path / "ego")
+    os.makedirs(root)
+    prefix = make_synthetic_dataset(root)
+    splits = os.path.join(root, "splits")
+
+    report = check_data_tree(prefix, splits, "ego4d_av_gaze_forecast")
+    assert report["problems"] == []
+    assert report["clips"] == 8 and report["videos"] == 1  # 4 clips x 2 manifests
+    assert main(["check", "--prefix", prefix, "--data-dir", splits,
+                 "--dataset", "ego4d_av_gaze_forecast"]) == 0
+
+    # damage: one clip loses its frames, another its audio, labels vanish
+    os.remove(os.path.join(prefix, "vid001", "clip00_t0_t5.mp4.frames.npy"))
+    os.remove(os.path.join(root, "clips.gaze.audio_stft", "vid001",
+                           "clip01_t5_t10.npy"))
+    os.remove(os.path.join(root, "gaze_frame_label", "vid001_frame_label.csv"))
+    report = check_data_tree(prefix, splits, "ego4d_av_gaze_forecast")
+    text = "\n".join(report["problems"])
+    assert "no video container or packed" in text
+    assert "missing audio STFT" in text
+    assert "missing gaze label file" in text
+    assert main(["check", "--prefix", prefix, "--data-dir", splits,
+                 "--dataset", "ego4d_av_gaze_forecast"]) == 1
+
+    # the Aria variant resolves its own audio rule + label naming
+    aroot = str(tmp_path / "aria")
+    os.makedirs(aroot)
+    make_aria_synthetic(aroot)
+    report = check_data_tree(os.path.join(aroot, "clips"),
+                             os.path.join(aroot, "splits"), "aria_av_gaze_forecast")
+    assert report["problems"] == []
+    assert report["clips"] == 4 and report["videos"] == 1
