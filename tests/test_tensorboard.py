@@ -100,3 +100,45 @@ def test_jsonl_fallback_scalars(cfg, monkeypatch):
         open(os.path.join(cfg.TENSORBOARD.LOG_DIR, "scalars.jsonl")).readline()
     )
     assert rec["loss"] == 1.5 and rec["step"] == 3
+
+
+def test_plot_logs_cli(tmp_path):
+    """tools/plot_logs.py: json_stats lines -> per-type CSVs with a global step
+    column, PNG curves, and the final-metrics echo (exit 0)."""
+    import csv
+    import importlib.util
+    import json
+    import subprocess
+    import sys
+
+    log = tmp_path / "stdout.log"
+    lines = []
+    for e in range(1, 3):
+        for i in range(1, 3):
+            lines.append("[x] INFO: json_stats: " + json.dumps({
+                "_type": "train_iter", "epoch": f"{e}/2", "iter": f"{i}/2",
+                "loss": 1.0 / (2 * (e - 1) + i), "lr": 1e-4, "device_mem": "0.00G",
+            }))
+        lines.append("[x] INFO: json_stats: " + json.dumps({
+            "_type": "train_epoch", "epoch": f"{e}/2", "f1": 0.1 * e, "loss": 0.5,
+        }))
+    lines.append("not a stats line")
+    lines.append("[x] INFO: json_stats: " + json.dumps({
+        "_type": "test_final", "f1": 0.42, "auc": 0.5, "RAM": "1/2G",
+    }))
+    log.write_text("\n".join(lines) + "\n")
+
+    tool = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                        "tools", "plot_logs.py")
+    out = tmp_path / "analysis"
+    r = subprocess.run([sys.executable, tool, str(log), "--out", str(out)],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "test_final" in r.stdout and "0.42" in r.stdout
+
+    with open(out / "train_iter.csv") as f:
+        rows = list(csv.reader(f))
+    assert rows[0][:2] == ["step", "_type"]
+    assert [row[0] for row in rows[1:]] == ["0", "1", "2", "3"]  # global steps
+    assert (out / "train_epoch.csv").exists() and (out / "test_final.csv").exists()
+    assert (out / "loss_lr.png").exists() and (out / "metrics.png").exists()
