@@ -520,9 +520,14 @@ def main(argv=None):
                 fn(*fnargs)
                 print(out)
             return
+        import multiprocessing
         from concurrent.futures import ProcessPoolExecutor, as_completed
 
-        with ProcessPoolExecutor(max_workers=args.workers) as pool:
+        # spawn, not fork: the host process may have jax (or any thread pool)
+        # imported — fork() under threads risks deadlocked workers (the CLI
+        # run alone never imports jax, but in-process callers do)
+        ctx = multiprocessing.get_context("spawn")
+        with ProcessPoolExecutor(max_workers=args.workers, mp_context=ctx) as pool:
             futs = {pool.submit(fn, *fnargs): out for fn, fnargs, out in jobs}
             for fut in as_completed(futs):
                 fut.result()  # surface worker exceptions
