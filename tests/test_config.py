@@ -98,3 +98,32 @@ def test_finalize_lr_scaling_and_divisibility():
     bad.TRAIN.BATCH_SIZE = 6  # not divisible by 4
     with pytest.raises(AssertionError, match="must divide"):
         bad.finalize()
+
+
+def test_config_dump_cli(tmp_path):
+    """python -m csts_tpu.config: defaults as YAML, --diff shows only overrides,
+    and the dumped YAML round-trips through load_config."""
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    r = subprocess.run([sys.executable, "-m", "csts_tpu.config"],
+                       cwd=REPO, env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    dumped = yaml.safe_load(r.stdout)
+    assert dumped["MVIT"]["DEPTH"] == 16 and "PARALLEL" in dumped
+    # round-trip: the printed YAML is itself a loadable config
+    p = tmp_path / "defaults.yaml"
+    p.write_text(r.stdout)
+    cfg = load_config(str(p), output_dir=str(tmp_path))
+    assert cfg.MVIT.DEPTH == 16
+
+    shipped = os.path.join(REPO, "configs", "Ego4D", "CSTS_Ego4D_Gaze_Forecast.yaml")
+    r = subprocess.run([sys.executable, "-m", "csts_tpu.config", "--diff",
+                        "--cfg", shipped, "TRAIN.BATCH_SIZE", "16"],
+                       cwd=REPO, env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    diff = yaml.safe_load(r.stdout)
+    assert diff["TRAIN"]["BATCH_SIZE"] == 16  # CLI override visible
+    assert "DEPTH" not in diff.get("MVIT", {})  # default-equal keys dropped
