@@ -16,7 +16,12 @@ import sys
 
 import yaml
 
-from csts_tpu.config.config import get_cfg, load_config
+from csts_tpu.config.config import (
+    get_cfg,
+    load_config,
+    merge_from_dict,
+    merge_from_list,
+)
 
 
 def _to_plain(d):
@@ -41,16 +46,26 @@ def main(argv=None):
     ap.add_argument("--cfg", default=None, help="YAML run config to merge over defaults")
     ap.add_argument("opts", nargs="*", help="KEY VALUE override pairs (run_net.py syntax)")
     ap.add_argument("--diff", action="store_true",
-                    help="print only keys that differ from the code defaults")
+                    help="print only keys that differ from the code defaults "
+                         "(pre-finalize: values finalize() derives, like "
+                         "BASE_LR x NUM_SHARDS, are not reported as overrides)")
     args = ap.parse_args(argv)
 
-    if args.cfg or args.opts:
-        cfg = load_config(args.cfg, opts=args.opts or None, output_dir=".")
-    else:
-        cfg = get_cfg()
-    effective = _to_plain(cfg.dump())
     if args.diff:
-        effective = _diff(_to_plain(get_cfg().dump()), effective)
+        # Diff the PRE-finalize merge: finalize() derives values the user never
+        # wrote (BASE_LR x NUM_SHARDS etc.) and would report them as overrides.
+        cfg = get_cfg()
+        if args.cfg:
+            with open(args.cfg) as f:
+                merge_from_dict(cfg, yaml.safe_load(f) or {})
+        if args.opts:
+            merge_from_list(cfg, args.opts)
+        effective = _diff(_to_plain(get_cfg().dump()), _to_plain(cfg.dump()))
+    elif args.cfg or args.opts:
+        effective = _to_plain(load_config(args.cfg, opts=args.opts or None,
+                                          output_dir=".").dump())
+    else:
+        effective = _to_plain(get_cfg().dump())
     yaml.safe_dump(effective, sys.stdout, default_flow_style=None, sort_keys=True)
     return 0
 

@@ -51,6 +51,18 @@ class VariantSpec:
     observed_frames: Optional[int]  # None => estimation (observe everything)
     forecast_label_gap_in_sampling_rate: bool  # Aria skips SAMPLING_RATE frames
 
+    # Path-derivation rules, shared with the `preprocess check` validator so a
+    # convention change cannot silently diverge from what the loader reads.
+    def audio_path(self, video_path: str) -> str:
+        src, dst = self.audio_rule
+        return video_path.replace(src, dst).replace(".mp4", ".npy")
+
+    def video_name(self, video_path: str) -> str:
+        return video_path.split("/")[-2]
+
+    def label_path(self, root: str, video_name: str) -> str:
+        return os.path.join(root, "gaze_frame_label", video_name + self.label_suffix)
+
 
 _VARIANTS = {
     "ego4d_av_gaze": VariantSpec(
@@ -112,19 +124,18 @@ class AVGazeDataset:
                     self._spatial_temporal_idx.append(idx)
         assert self._path_to_videos, f"empty split {path_to_file}"
 
-        src, dst = self.variant.audio_rule
         self._path_to_audios = [
-            p.replace(src, dst).replace(".mp4", ".npy") for p in self._path_to_videos
+            self.variant.audio_path(p) for p in self._path_to_videos
         ]
 
         # per-video gaze labels, loaded once into RAM (reference :108-122)
         self._labels: Dict[str, np.ndarray] = {}
         prefix = os.path.dirname(self.cfg.DATA.PATH_PREFIX)
         for p in self._path_to_videos:
-            video_name = p.split("/")[-2]
+            video_name = self.variant.video_name(p)
             if video_name in self._labels:
                 continue
-            label_path = os.path.join(prefix, "gaze_frame_label", video_name + self.variant.label_suffix)
+            label_path = self.variant.label_path(prefix, video_name)
             with open(label_path) as f:
                 rows = [list(map(float, row)) for i, row in enumerate(csv.reader(f)) if i > 0]
             self._labels[video_name] = np.asarray(rows)[:, self.variant.label_col_offset:]
@@ -415,8 +426,7 @@ class AVGazeDataset:
         }
 
     def _path_to_audios_for(self, video_path: str) -> str:
-        src, dst = self.variant.audio_rule
-        return video_path.replace(src, dst).replace(".mp4", ".npy")
+        return self.variant.audio_path(video_path)
 
 
 def _register(name):

@@ -383,22 +383,31 @@ def write_splits(
 # ----------------------------------------------------------------------------------
 
 
-def check_data_tree(prefix: str, data_dir: str, dataset: str) -> dict:
+def check_data_tree(
+    prefix: str, data_dir: str, dataset: str, target_fps: Optional[int] = None
+) -> dict:
     """Validate a prepared data tree against its split manifests BEFORE training.
 
     For every clip named by the variant's train/test CSVs, verifies what the
-    dataset will need at runtime (``datasets.py`` `_construct`/`__getitem__`):
-    a video source (container or packed ``.frames.npy`` + ``.meta.json``), the
-    audio STFT ``.npy`` under the variant's audio path rule, the per-video
-    gaze label file, and — when a packed clip's frame count is cheap to read
-    (npy header only) — that the label file covers the clip's global frame
-    range. Returns ``{"clips", "videos", "problems"}``; the CLI stage exits
-    nonzero on any problem. The reference has no such tool — its failure mode
-    is a mid-epoch crash in a loader worker.
+    dataset will need at runtime (``datasets.py`` `_construct`/`__getitem__`,
+    whose path rules are SHARED via ``VariantSpec.{audio_path,video_name,
+    label_path}`` so this validator cannot drift from the loader): a video
+    source (container or packed ``.frames.npy`` + ``.meta.json``), the audio
+    STFT ``.npy``, the per-video gaze label file, and — when a packed clip's
+    frame count is cheap to read (npy header only) — that the label file
+    covers the clip's global frame range. The range uses the dataset's
+    TARGET_FPS exactly like the loader (``labels_global = tstart*TARGET_FPS +
+    native frame index``, datasets.py:294-314), NOT the clip's native fps;
+    pass ``target_fps`` if the run overrides ``DATA.TARGET_FPS``. Returns
+    ``{"clips", "videos", "problems"}``; the CLI stage exits nonzero on any
+    problem. The reference has no such tool — its failure mode is a mid-epoch
+    crash in a loader worker.
     """
     from csts_tpu.data.datasets import _VARIANTS
 
     variant = _VARIANTS[dataset]
+    if target_fps is None:
+        target_fps = 20 if dataset.startswith("aria") else 30  # the shipped recipes
     root = os.path.dirname(prefix)
     problems: List[str] = []
     clips = 0
@@ -414,6 +423,9 @@ def check_data_tree(prefix: str, data_dir: str, dataset: str) -> dict:
             problems.append(f"empty split manifest {manifest}")
         for rel in rels:
             clips += 1
+            if "/" not in rel:
+                problems.append(f"{rel}: manifest row has no <video>/<clip> directory")
+                continue
             vpath = os.path.join(prefix, rel)
             has_container = os.path.exists(vpath)
             packed = vpath + ".frames.npy"
@@ -423,14 +435,13 @@ def check_data_tree(prefix: str, data_dir: str, dataset: str) -> dict:
             if has_npy and not os.path.exists(vpath + ".meta.json"):
                 problems.append(f"{rel}: packed frames without .meta.json (fps/pts)")
 
-            src, dst = variant.audio_rule
-            apath = vpath.replace(src, dst).replace(".mp4", ".npy")
+            apath = variant.audio_path(vpath)
             if not os.path.exists(apath):
                 problems.append(f"{rel}: missing audio STFT {os.path.relpath(apath, root)}")
 
-            video_name = rel.split("/")[-2] if "/" in rel else ""
+            video_name = variant.video_name(vpath)
             if video_name not in label_rows:
-                lpath = os.path.join(root, "gaze_frame_label", video_name + variant.label_suffix)
+                lpath = variant.label_path(root, video_name)
                 if os.path.exists(lpath):
                     with open(lpath) as f:
                         label_rows[video_name] = sum(1 for _ in f) - 1  # minus header
@@ -440,17 +451,14 @@ def check_data_tree(prefix: str, data_dir: str, dataset: str) -> dict:
 
             window = parse_clip_window(rel)
             if has_npy and label_rows.get(video_name, -1) >= 0 and window:
-                meta_path = vpath + ".meta.json"
-                if os.path.exists(meta_path):
-                    with open(meta_path) as f:
-                        fps = json.load(f).get("fps", 0)
-                    n_frames = np.load(packed, mmap_mode="r").shape[0]
-                    needed = int(window[0] * fps) + n_frames
-                    if fps and label_rows[video_name] < needed:
-                        problems.append(
-                            f"{rel}: label file has {label_rows[video_name]} rows but the "
-                            f"clip's global frame range ends at {needed}"
-                        )
+                n_frames = np.load(packed, mmap_mode="r").shape[0]
+                needed = int(window[0] * target_fps) + n_frames
+                if label_rows[video_name] < needed:
+                    problems.append(
+                        f"{rel}: label file has {label_rows[video_name]} rows but the "
+                        f"clip's global frame range ends at {needed} "
+                        f"(tstart {window[0]}s x TARGET_FPS {target_fps} + {n_frames} frames)"
+                    )
     return {"clips": clips, "videos": len(label_rows), "problems": problems}
 
 
@@ -499,6 +507,10 @@ def main(argv=None):
         choices=("ego4d_av_gaze", "ego4d_av_gaze_forecast", "aria_av_gaze", "aria_av_gaze_forecast"),
         help="TRAIN/TEST.DATASET name (fixes the audio path rule + label format)",
     )
+    p_check.add_argument("--target-fps", type=int, default=None,
+                         help="DATA.TARGET_FPS of the run (default: the dataset's "
+                              "shipped recipe — 30 Ego4D / 20 Aria); label frame "
+                              "ranges are computed at this rate like the loader")
     p_check.add_argument("--max-print", type=int, default=20)
 
     p_trim = sub.add_parser("trim", help="cut source videos into 5s clips")
@@ -583,7 +595,8 @@ def main(argv=None):
         print(f"# {len(train_rels)} train / {len(test_rels)} test clips over {len(ids)} videos",
               file=sys.stderr)
     elif args.stage == "check":
-        report = check_data_tree(args.prefix, args.data_dir, args.dataset)
+        report = check_data_tree(args.prefix, args.data_dir, args.dataset,
+                                 target_fps=args.target_fps)
         for p in report["problems"][: args.max_print]:
             print(f"PROBLEM: {p}")
         extra = len(report["problems"]) - args.max_print

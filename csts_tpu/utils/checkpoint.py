@@ -119,6 +119,30 @@ def checkpoint_meta(path: str) -> dict:
         return json.load(f)
 
 
+def param_leaf_names(cfg) -> list:
+    """Named model-param leaves ``[(path, shape), ...]`` in flatten order, via
+    ``jax.eval_shape`` (no weights materialize, no compute runs).
+
+    This is THE statement of the flat-archive convention every consumer relies
+    on: a TrainState ``.npz`` written by :func:`save_checkpoint` stores the
+    params as its leading ``len(param_leaf_names(cfg))`` leaves in exactly this
+    order (then optimizer/EMA state) — :func:`load_params_npz`,
+    ``tools/inspect_checkpoint.py`` and ``tools/average_checkpoints.py`` all
+    consume it through here so the recipe lives in one place.
+    """
+    from csts_tpu.models import csts as csts_lib  # lazy: avoid an import cycle
+
+    spec = csts_lib.build_spec(cfg)
+    shapes = jax.eval_shape(
+        lambda key: csts_lib.csts_init(key, spec), jax.random.PRNGKey(0)
+    )
+    names = []
+    for path, leaf in jax.tree_util.tree_flatten_with_path(shapes)[0]:
+        name = "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+        names.append((name, tuple(leaf.shape)))
+    return names
+
+
 def load_params_npz(path: str, params: Any) -> Any:
     """Load only model params (ignores optimizer state) from a TrainState .npz by
     matching the params' leading leaves."""

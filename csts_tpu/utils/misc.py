@@ -73,11 +73,16 @@ def device_mem_usage() -> float:
         return 0.0
     b = stats.get("peak_bytes_in_use", stats.get("bytes_in_use", 0)) or 0
     if not b:
+        # Per-device bytes via addressable shards: a replicated array holds a
+        # FULL copy on every device (global nbytes / device-count would
+        # undercount replicated params by the replication factor — exactly the
+        # number this field exists to watch).
         try:
             b = sum(
-                x.nbytes // max(len(x.devices()), 1)
+                s.data.nbytes
                 for x in jax.live_arrays()
-                if dev in x.devices()
+                for s in x.addressable_shards
+                if s.device == dev
             )
         except Exception:
             b = 0

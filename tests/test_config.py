@@ -127,3 +127,12 @@ def test_config_dump_cli(tmp_path):
     diff = yaml.safe_load(r.stdout)
     assert diff["TRAIN"]["BATCH_SIZE"] == 16  # CLI override visible
     assert "DEPTH" not in diff.get("MVIT", {})  # default-equal keys dropped
+
+    # finalize-derived values (BASE_LR x NUM_SHARDS) are NOT reported as overrides
+    r = subprocess.run([sys.executable, "-m", "csts_tpu.config", "--diff",
+                        "NUM_SHARDS", "4", "SOLVER.BASE_LR_SCALE_NUM_SHARDS", "True"],
+                       cwd=REPO, env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    diff = yaml.safe_load(r.stdout)
+    assert diff["NUM_SHARDS"] == 4 and diff["SOLVER"]["BASE_LR_SCALE_NUM_SHARDS"] is True
+    assert "BASE_LR" not in diff["SOLVER"]  # derived, not user-written

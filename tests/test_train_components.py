@@ -236,10 +236,21 @@ def test_meter_records_carry_memory_fields(monkeypatch):
     assert 0.0 < used <= total
     # CPU backend has no allocator stats -> the live-buffer fallback kicks in
     # (same path a relayed TPU transport takes when memory_stats() is None).
+    import jax
     import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from csts_tpu.parallel import mesh as mesh_lib
 
     keep = jnp.ones((1024, 1024), jnp.float32)  # 4 MB held live
-    assert misc.device_mem_usage() * 1024**3 >= keep.nbytes
+    base = misc.device_mem_usage() * 1024**3
+    assert base >= keep.nbytes
+    # a REPLICATED array holds a full copy on device 0 — per-device accounting
+    # must credit all of nbytes, not nbytes/num_devices
+    mesh = mesh_lib.make_mesh()
+    rep = jax.device_put(keep + 1, NamedSharding(mesh, P()))
+    assert misc.device_mem_usage() * 1024**3 >= base + rep.nbytes
+    del rep
 
     records = []
     monkeypatch.setattr(meters_lib, "log_json_stats", records.append)

@@ -65,33 +65,30 @@ def average(paths, output, n_params: int | None = None):
 
 
 def _param_leaf_count(cfg_path: str) -> int:
-    import jax
-
     from csts_tpu.config import load_config
-    from csts_tpu.models import csts as csts_lib
+    from csts_tpu.utils.checkpoint import param_leaf_names
 
-    cfg = load_config(cfg_path, output_dir="/tmp/avg_ckpt_out")
-    spec = csts_lib.build_spec(cfg)
-    shapes = jax.eval_shape(
-        lambda key: csts_lib.csts_init(key, spec), jax.random.PRNGKey(0)
-    )
-    return len(jax.tree_util.tree_leaves(shapes))
+    return len(param_leaf_names(load_config(cfg_path, output_dir="/tmp/avg_ckpt_out")))
 
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    ap.add_argument("inputs", nargs="+", help=".npz checkpoints (epoch order)")
+    ap.add_argument("inputs", nargs="+",
+                    help=".npz checkpoints, oldest first (the last donates opt state)")
     ap.add_argument("--output", required=True)
     ap.add_argument("--last", type=int, default=0,
-                    help="use only the last N inputs (after lexical sort)")
+                    help="use only the last N inputs as given")
     ap.add_argument("--cfg", default=None,
                     help="YAML config: average only the model's param leaves of a "
                          "TrainState archive (leaf count via jax.eval_shape)")
     args = ap.parse_args()
 
-    paths = sorted(args.inputs)
-    # epoch files sort lexically in recency order (checkpoint.py naming note)
-    paths = [p for p in paths if re.search(r"\.npz$", p)]
+    # Inputs are used IN THE ORDER GIVEN (the last one donates opt state + the
+    # sidecar). A shell glob of this framework's checkpoint names already
+    # expands in recency order (the zero-padded naming, checkpoint.py:31-38);
+    # re-sorting here would silently reorder explicitly listed or
+    # differently-named inputs.
+    paths = [p for p in args.inputs if re.search(r"\.npz$", p)]
     if args.last:
         paths = paths[-args.last:]
     assert len(paths) >= 2, f"need >= 2 checkpoints, got {paths}"

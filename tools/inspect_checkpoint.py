@@ -42,29 +42,12 @@ def _human(n_bytes: float) -> str:
 
 
 def _param_names(cfg_path):
-    """Name every param leaf (flatten order) via eval_shape — no init compute."""
-    import jax
-
+    """Named param leaves in flatten order (the shared flat-archive convention,
+    ``csts_tpu/utils/checkpoint.py:param_leaf_names``)."""
     from csts_tpu.config import load_config
-    from csts_tpu.models import csts as csts_lib
+    from csts_tpu.utils.checkpoint import param_leaf_names
 
-    cfg = load_config(cfg_path, output_dir="/tmp/inspect_ckpt_out")
-    spec = csts_lib.build_spec(cfg)
-    shapes = jax.eval_shape(
-        lambda key: csts_lib.csts_init(key, spec), jax.random.PRNGKey(0)
-    )
-    leaves_with_paths = jax.tree_util.tree_flatten_with_path(shapes)[0]
-    names = []
-    for path, leaf in leaves_with_paths:
-        names.append(
-            (
-                "/".join(
-                    str(getattr(p, "key", getattr(p, "idx", p))) for p in path
-                ),
-                tuple(leaf.shape),
-            )
-        )
-    return names
+    return param_leaf_names(load_config(cfg_path, output_dir="/tmp/inspect_ckpt_out"))
 
 
 def inspect_npz(path: str, cfg_path=None, full=False):
@@ -104,21 +87,24 @@ def inspect_npz(path: str, cfg_path=None, full=False):
 
     total = count = 0
     by_dtype = defaultdict(int)
-    by_module = defaultdict(lambda: [0, 0])  # name -> [params, bytes]
+    by_module = defaultdict(lambda: [0, 0])  # name -> [elements, bytes]
+    # Without names we cannot tell params from optimizer/EMA leaves — a
+    # TrainState archive would otherwise print ~3x the model's "params".
     n_params_leaves = len(names) if names else len(keys)
+    unlabeled = "[all leaves — pass --cfg to split params vs optimizer state]"
     opt_bytes = opt_leaves = 0
     for i, k in enumerate(keys):
         arr = blob[k]
         total += arr.nbytes
         count += arr.size
         by_dtype[str(arr.dtype)] += arr.nbytes
-        if i < n_params_leaves:
-            mod = names[i][0].split("/")[0] if names else "params"
-            by_module[mod][0] += arr.size
-            by_module[mod][1] += arr.nbytes
-        else:
+        if names and i >= n_params_leaves:
             opt_leaves += 1
             opt_bytes += arr.nbytes
+        else:
+            mod = names[i][0].split("/")[0] if names else unlabeled
+            by_module[mod][0] += arr.size
+            by_module[mod][1] += arr.nbytes
         if full:
             label = names[i][0] if names and i < n_params_leaves else k
             print(f"  {label:60s} {str(arr.shape):20s} {str(arr.dtype):10s} {_human(arr.nbytes)}")

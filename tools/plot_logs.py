@@ -45,15 +45,16 @@ def parse_records(path: str):
 
 
 def add_global_step(records):
-    """epoch "e/E" + iter "i/I" -> 0-based global step; returns steps list."""
+    """epoch "e/E" + iter "i/I" -> 0-based global step. If ANY record lacks the
+    fraction fields, fall back to sequential numbering for ALL of them — mixing
+    computed and positional steps would interleave small and large x values."""
     steps = []
     for rec in records:
         me = _FRAC.match(str(rec.get("epoch", "")))
         mi = _FRAC.match(str(rec.get("iter", "")))
-        if me and mi:
-            steps.append((int(me.group(1)) - 1) * int(mi.group(2)) + int(mi.group(1)) - 1)
-        else:
-            steps.append(len(steps))
+        if not (me and mi):
+            return list(range(len(records)))
+        steps.append((int(me.group(1)) - 1) * int(mi.group(2)) + int(mi.group(1)) - 1)
     return steps
 
 
