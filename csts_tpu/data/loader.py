@@ -89,6 +89,23 @@ class GazeLoader:
             rng.shuffle(order)
         return order
 
+    def _batch_stripe(self, order: np.ndarray, b: int):
+        """(this host's sample indices, their global positions) for batch ``b``."""
+        lo = b * self.global_batch_size
+        batch_idx = order[lo : lo + self.global_batch_size]
+        if len(batch_idx) < self.global_batch_size:
+            # pad by wrapping (keeps batch shapes static for jit); np.resize
+            # repeats cyclically, so a dataset SMALLER than the pad still
+            # fills the batch (order[:pad] alone would come up short)
+            pad = self.global_batch_size - len(batch_idx)
+            batch_idx = np.concatenate([batch_idx, np.resize(order, pad)])
+        lo_host = lo + self.process_index * self.local_batch_size
+        stripe = batch_idx[
+            self.process_index * self.local_batch_size
+            : (self.process_index + 1) * self.local_batch_size
+        ]
+        return stripe, lo_host
+
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._epoch_order()
         n_batches = len(self)
@@ -97,29 +114,36 @@ class GazeLoader:
             rng = np.random.default_rng((self.seed, self._epoch, int(sample_pos)))
             return self.dataset.__getitem__(int(global_idx), rng=rng)
 
+        def submit(pool, b: int):
+            stripe, lo_host = self._batch_stripe(order, b)
+            return [pool.submit(fetch, g, lo_host + i) for i, g in enumerate(stripe)]
+
+        # Bounded look-ahead: submitting the whole epoch up front would let the
+        # workers decode arbitrarily far past the consumer (host RAM grows
+        # toward the epoch) and would force generator close to decode every
+        # still-queued batch. A window of enough batches to keep all workers
+        # busy (+1 for the one being consumed) bounds both.
+        window = 1 + max(
+            1, -(-self.num_workers // max(self.local_batch_size, 1))
+        )
+        todo = list(range(self._start_iter, n_batches))  # len() already floors under drop_last
         with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            pending = []
-            for b in range(self._start_iter, n_batches):
-                lo = b * self.global_batch_size
-                batch_idx = order[lo : lo + self.global_batch_size]
-                if len(batch_idx) < self.global_batch_size:
-                    if self.drop_last:
-                        break
-                    # pad by wrapping (keeps batch shapes static for jit)
-                    pad = self.global_batch_size - len(batch_idx)
-                    batch_idx = np.concatenate([batch_idx, order[:pad]])
-                # this host's stripe of the global batch
-                stripe = batch_idx[
-                    self.process_index * self.local_batch_size
-                    : (self.process_index + 1) * self.local_batch_size
-                ]
-                futures = [
-                    pool.submit(fetch, g, lo + self.process_index * self.local_batch_size + i)
-                    for i, g in enumerate(stripe)
-                ]
-                pending.append(futures)
-            for futures in pending:
-                yield _collate([f.result() for f in futures])
+            pending = [submit(pool, b) for b in todo[:window]]
+            next_i = len(pending)
+            try:
+                while pending:
+                    futures = pending.pop(0)
+                    if next_i < len(todo):
+                        pending.append(submit(pool, todo[next_i]))
+                        next_i += 1
+                    yield _collate([f.result() for f in futures])
+            finally:
+                # abandoned mid-epoch (DevicePrefetcher.close, an eval error):
+                # cancel not-yet-started fetches so pool shutdown doesn't
+                # decode the remaining window
+                for futures in pending:
+                    for f in futures:
+                        f.cancel()
 
 
 def construct_loader(cfg: Config, split: str, seed_offset: int = 0) -> GazeLoader:

@@ -160,6 +160,27 @@ class StreamingF1:
         self._auc_sum += float(auc_sum)
         self._auc_count += float(auc_cnt)
 
+    def state(self) -> dict:
+        """The mergeable partial sums — pickleable, for cross-host gather."""
+        return {
+            "recall_sum": self._recall_sum.copy(),
+            "precision_sum": self._precision_sum.copy(),
+            "count": self._count,
+            "auc_sum": self._auc_sum,
+            "auc_count": self._auc_count,
+        }
+
+    def merge_state(self, other: dict) -> None:
+        """Fold another accumulator's :meth:`state` into this one (multi-host
+        eval: each host streams its loader stripe, then the partial sums merge
+        into the whole-test-set metric — the reference instead all-gathers
+        every prediction tensor, test_avgaze_net.py:58-59)."""
+        self._recall_sum += np.asarray(other["recall_sum"])
+        self._precision_sum += np.asarray(other["precision_sum"])
+        self._count += float(other["count"])
+        self._auc_sum += float(other["auc_sum"])
+        self._auc_count += float(other["auc_count"])
+
     def finalize(self):
         recall = self._recall_sum / max(self._count, 1e-12)
         precision = self._precision_sum / max(self._count, 1e-12)

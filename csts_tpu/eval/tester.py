@@ -66,19 +66,33 @@ def _load_params(cfg: Config, spec, params):
             ck.close()
         logger.info("Testing with orbax checkpoint at step %d.", step)
         return pick(restored)
-    if (
-        cfg.TEST.USE_EMA
-        and not cfg.TEST.CHECKPOINT_FILE_PATH
-        and cu.has_checkpoint(cfg.OUTPUT_DIR)
-    ):
-        # native TrainState npz in OUTPUT_DIR: restore the full state so the
-        # trailing EMA leaves are recovered (load_test_checkpoint only maps
-        # the leading params leaves)
-        template, _ = train_step_lib.create_train_state(
-            cfg, spec, jax.random.PRNGKey(cfg.RNG_SEED)
-        )
-        state, _ = cu.load_checkpoint(cu.get_last_checkpoint(cfg.OUTPUT_DIR), template)
-        return pick(state)
+    if cfg.TEST.USE_EMA:
+        # restore the full TrainState so the trailing EMA leaves are recovered
+        # (load_test_checkpoint maps only the leading params leaves). Works for
+        # both an OUTPUT_DIR npz and an explicit TEST.CHECKPOINT_FILE_PATH npz.
+        npz_path = None
+        if cfg.TEST.CHECKPOINT_FILE_PATH and cfg.TEST.CHECKPOINT_FILE_PATH.endswith(".npz"):
+            npz_path = cfg.TEST.CHECKPOINT_FILE_PATH
+        elif not cfg.TEST.CHECKPOINT_FILE_PATH and cu.has_checkpoint(cfg.OUTPUT_DIR):
+            npz_path = cu.get_last_checkpoint(cfg.OUTPUT_DIR)
+        if npz_path:
+            template, _ = train_step_lib.create_train_state(
+                cfg, spec, jax.random.PRNGKey(cfg.RNG_SEED)
+            )
+            try:
+                state, _ = cu.load_checkpoint(npz_path, template)
+            except AssertionError:
+                logger.warning(
+                    "TEST.USE_EMA requested but %s is not a TrainState archive "
+                    "(leaf count differs); evaluating its raw params.", npz_path
+                )
+            else:
+                return pick(state)
+        else:
+            logger.warning(
+                "TEST.USE_EMA requested but the checkpoint source is not a "
+                "TrainState .npz; evaluating raw weights."
+            )
     return cu.load_test_checkpoint(cfg, params)
 
 
@@ -183,29 +197,47 @@ def test(cfg: Config) -> dict:
             iter(test_loader), lambda b: mesh_lib.shard_batch_padded(mesh, b),
             depth=cfg.DATA_LOADER.PREFETCH_DEPTH,
         )
+        # global positions: this host's stripe of global batch b covers rows
+        # [b*G + proc*local, ...); positions >= the dataset size are the
+        # loader's wrap-pad rows. Masking by POSITION drops every pad row on
+        # every host exactly — per-host index dedup alone cannot see a pad
+        # whose original row lives on another host's stripe.
+        G = cfg.TEST.BATCH_SIZE
+        local_bs = G // jax.process_count()
+        n_total = len(test_loader.dataset)
+        if jax.process_count() > 1 and num_views > 1:
+            logger.warning(
+                "multi-host + multi-view eval: views of a clip that straddle a "
+                "host-stripe boundary are averaged per host, not globally"
+            )
         meter.iter_tic()
         for cur_iter, (batch, true_n) in enumerate(prefetch):
             meter.data_toc()
             preds = eval_step(params, batch)
             preds_rescaled = metrics.minmax_rescale(preds)
-            # per-batch diagnostic F1 (reference logs it; the real number is global)
-            f1, recall, precision, _ = metrics.adaptive_f1(
-                preds_rescaled, batch["labels_hm"], batch["labels"], cfg.TEST.DATASET
-            )
-            meter.iter_toc()
+            local = mesh_lib.host_local_batch(mesh, {
+                "preds": preds_rescaled,
+                "labels_hm": batch["labels_hm"],
+                "labels": batch["labels"],
+                "index": batch["index"],
+            })
+            meter.iter_toc()  # the host-local conversion read back the device outputs
+            base = cur_iter * G + jax.process_index() * local_bs
+            rows = base + np.arange(int(true_n))
+            real = rows < n_total
             meter.update_stats(
-                np.asarray(preds_rescaled)[:true_n],
-                np.asarray(batch["labels_hm"])[:true_n],
-                np.asarray(batch["labels"])[:true_n],
-                indices=np.asarray(batch["index"])[:true_n],
+                local["preds"][:true_n][real],
+                local["labels_hm"][:true_n][real],
+                local["labels"][:true_n][real],
+                indices=local["index"][:true_n][real],
             )
             meter.log_iter_stats(cur_iter, cfg.LOG_PERIOD)
             if results is not None:
                 _collect_results(
                     results,
-                    np.asarray(preds_rescaled)[:true_n],
-                    np.asarray(batch["labels"])[:true_n],
-                    np.asarray(batch["index"])[:true_n],
+                    local["preds"][:true_n][real],
+                    local["labels"][:true_n][real],
+                    local["index"][:true_n][real],
                 )
             meter.iter_tic()
 
@@ -223,6 +255,14 @@ def test(cfg: Config) -> dict:
             )
             logger.info("Saved %d test results to %s", len(order), results_path)
 
+    if jax.process_count() > 1:
+        # fold the other hosts' streaming partial sums in so test_final is the
+        # WHOLE-test-set metric on every host (the reference all-gathers the
+        # full prediction tensors instead, test_avgaze_net.py:58-59; the
+        # position mask above already de-duplicated pad rows globally)
+        for rank, state in enumerate(collectives.gather_objects(meter.stream.state())):
+            if rank != jax.process_index():
+                meter.stream.merge_state(state)
     stats = meter.finalize_metrics()
     logger.info("Testing finished: %s", stats)
     return stats

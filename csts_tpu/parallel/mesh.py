@@ -151,8 +151,19 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch dict onto the mesh, sharded along axis 0."""
+    """Place a host batch dict onto the mesh, sharded along axis 0.
+
+    Multi-process: each process holds only ITS stripe of the global batch
+    (loader.py per-host striping), so a plain device_put with the global
+    sharding would mis-read the local value as the global array —
+    ``jax.make_array_from_process_local_data`` assembles the global batch
+    from the per-process stripes instead."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(sharding, np.asarray(x)),
+            batch,
+        )
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch
     )
@@ -168,14 +179,36 @@ def shard_batch_padded(mesh: Mesh, batch):
     import numpy as _np
 
     dp = mesh.shape[DATA_AXIS]
+    # each process feeds its share of the data axis; pad the LOCAL stripe to a
+    # multiple of that share (single-process: share == dp)
+    share = max(dp // jax.process_count(), 1)
     n = next(iter(batch.values())).shape[0]
-    pad = (-n) % dp
+    pad = (-n) % share
     if pad:
         batch = {
             k: _np.concatenate([v, _np.repeat(v[-1:], pad, axis=0)])
             for k, v in batch.items()
         }
     return shard_batch(mesh, batch), n
+
+
+def host_local_batch(mesh: Mesh, tree):
+    """Data-sharded global arrays → this process's local numpy stripe.
+
+    Single-process this is a plain np.asarray (fully addressable). Multi-process
+    the tester/trainer must NOT np.asarray a global array (non-addressable
+    shards); this returns exactly the rows this host fed in, so per-host meter
+    updates line up with per-host loader stripes."""
+    if jax.process_count() == 1:
+        return jax.tree_util.tree_map(np.asarray, tree)
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(
+            multihost_utils.global_array_to_host_local_array(x, mesh, P(DATA_AXIS))
+        ),
+        tree,
+    )
 
 
 def replicate_params(mesh: Mesh, params):

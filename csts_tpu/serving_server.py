@@ -32,6 +32,7 @@ import queue
 import threading
 import time
 from concurrent.futures import Future
+from concurrent.futures import TimeoutError as FuturesTimeoutError
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Dict, Optional
 
@@ -59,7 +60,18 @@ class MicroBatcher:
         self._lock = threading.Lock()
         self._stats = {"requests": 0, "batches": 0, "clips": 0, "errors": 0}
         self._latencies: collections.deque = collections.deque(maxlen=2048)
-        self._shapes = None  # (video.shape, audio.shape) of the first request
+        # The service's clip contract. With a config-carrying predictor it is
+        # fixed up front — a malformed FIRST request must not lock in wrong
+        # shapes and reject every correct one after it. AOT-exported predictors
+        # (cfg=None) fall back to first-request locking.
+        self._shapes = None
+        cfg = getattr(predictor, "cfg", None)
+        if cfg is not None:
+            t, s = cfg.DATA.NUM_FRAMES, cfg.DATA.TEST_CROP_SIZE
+            self._shapes = (
+                (t, s, s, 3),
+                (t, cfg.DATA.AUDIO_FREQ_BINS, cfg.DATA.AUDIO_WINDOW, 1),
+            )
         self._closed = False
         self._thread = threading.Thread(
             target=self._run, name="gaze-microbatcher", daemon=True
@@ -73,8 +85,6 @@ class MicroBatcher:
         ``audio`` (T, F, S, 1) float32. Resolves to {heatmaps (T, h, w),
         gaze_xy (T, 2)}. Raises ``RuntimeError`` after :meth:`close`."""
         fut: Future = Future()
-        if self._closed:
-            raise RuntimeError("MicroBatcher is closed")
         video = np.asarray(video, np.float32)
         audio = np.asarray(audio, np.float32)
         if video.ndim != 4 or audio.ndim != 4:
@@ -85,7 +95,12 @@ class MicroBatcher:
                 )
             )
             return fut
+        # the closed-check and the enqueue share the lock with close(): a
+        # submit that passes the check is guaranteed to enqueue BEFORE close()
+        # drains, so no accepted request can be silently dropped
         with self._lock:
+            if self._closed:
+                raise RuntimeError("MicroBatcher is closed")
             if self._shapes is None:
                 self._shapes = (video.shape, audio.shape)
             elif (video.shape, audio.shape) != self._shapes:
@@ -97,7 +112,12 @@ class MicroBatcher:
                 )
                 return fut
             self._stats["requests"] += 1
-        self._queue.put((video, audio, fut, time.monotonic()))
+            try:
+                self._queue.put_nowait((video, audio, fut, time.monotonic()))
+            except queue.Full:
+                self._stats["requests"] -= 1
+                self._stats["errors"] += 1
+                fut.set_exception(RuntimeError("request queue full"))
         return fut
 
     def stats(self) -> Dict[str, float]:
@@ -115,18 +135,27 @@ class MicroBatcher:
     def close(self, timeout: float = 10.0) -> None:
         """Stop the dispatcher after draining in-flight work. Unprocessed
         queued requests fail with ``RuntimeError``."""
-        if self._closed:
-            return
-        self._closed = True
+        with self._lock:
+            if self._closed:
+                return
+            self._closed = True
         self._queue.put(_SENTINEL)
         self._thread.join(timeout=timeout)
+        saw_sentinel = False
         while True:  # fail anything the dispatcher never reached
             try:
                 item = self._queue.get_nowait()
             except queue.Empty:
                 break
-            if item is not _SENTINEL:
+            if item is _SENTINEL:
+                saw_sentinel = True
+            else:
                 item[2].set_exception(RuntimeError("MicroBatcher closed"))
+        if self._thread.is_alive() and saw_sentinel:
+            # the join timed out mid-predict and the drain consumed the
+            # shutdown signal — re-arm it so the dispatcher exits when it
+            # returns to the queue instead of blocking on get() forever
+            self._queue.put(_SENTINEL)
 
     # ------------------------------------------------------------- dispatcher
 
@@ -214,10 +243,24 @@ class _GazeHandler(BaseHTTPRequestHandler):
                 # raw camera frames (T, H, W, 3): center-crop + normalize with
                 # the predictor's own constants (GazePredictor.preprocess_frames)
                 video = self.server.batcher._pred.preprocess_frames(video)
+        except Exception as exc:  # noqa: BLE001 — malformed request body
+            self._respond(400, str(exc).encode() or b"bad request", "text/plain")
+            return
+        try:
             fut = self.server.batcher.submit(video, blob["audio"])
             result = fut.result(timeout=self.server.request_timeout)
-        except Exception as exc:  # noqa: BLE001 — surface as 400
+        except ValueError as exc:  # shape/contract violations — the client's fault
             self._respond(400, str(exc).encode(), "text/plain")
+            return
+        except FuturesTimeoutError:
+            self._respond(
+                504,
+                f"prediction did not complete within {self.server.request_timeout}s".encode(),
+                "text/plain",
+            )
+            return
+        except Exception as exc:  # noqa: BLE001 — server-side failure
+            self._respond(500, str(exc).encode() or type(exc).__name__.encode(), "text/plain")
             return
         buf = io.BytesIO()
         np.savez(buf, **result)

@@ -90,6 +90,47 @@ def main() -> int:
     mine = [i for i in range(8) if (i // 2) % nprocs == proc_id]
     assert sorted(sum(got, [])) == mine, (got, mine)
 
+    # ---- the tester/trainer data path: per-host stripes -> one GLOBAL batch
+    # (shard_batch must use make_array_from_process_local_data, not device_put),
+    # a sharded jit consuming it, and host_local_batch recovering each host's
+    # own stripe of the output
+    from csts_tpu.parallel import mesh as mesh_lib
+
+    gmesh = Mesh(np.array(jax.devices()), (mesh_lib.DATA_AXIS,))
+    local_stripe = {
+        "video": np.arange(2 * 3, dtype=np.float32).reshape(2, 3) + 100 * proc_id
+    }
+    dev_batch = mesh_lib.shard_batch(gmesh, local_stripe)
+    assert dev_batch["video"].shape == (2 * nprocs, 3), dev_batch["video"].shape
+    doubled = jax.jit(lambda b: {"video": b["video"] * 2})(dev_batch)
+    back = mesh_lib.host_local_batch(gmesh, doubled)
+    np.testing.assert_allclose(back["video"], local_stripe["video"] * 2)
+
+    # padded path: a local stripe that does not fill this host's data-axis share
+    short = {"video": np.ones((1, 3), np.float32) * (proc_id + 1)}
+    dev_short, true_n = mesh_lib.shard_batch_padded(gmesh, short)
+    assert true_n == 1 and dev_short["video"].shape[0] == 2 * nprocs
+
+    # ---- whole-test-set metric merge: per-host StreamingF1 partials -> global
+    from csts_tpu.eval.metrics import StreamingF1
+
+    rng_m = np.random.default_rng(7)
+    preds = rng_m.random((4, 2, 8, 8), np.float32)
+    labels_hm = (rng_m.random((4, 2, 8, 8)) > 0.8).astype(np.float32)
+    labels = np.zeros((4, 2, 3), np.float32)  # gaze_type 0 = fixation
+    mine_sl = slice(proc_id * 2, proc_id * 2 + 2)
+    local_stream = StreamingF1("ego4d_av_gaze_forecast")
+    local_stream.update(preds[mine_sl], labels_hm[mine_sl], labels[mine_sl])
+    for rank, st in enumerate(collectives.gather_objects(local_stream.state())):
+        if rank != proc_id:
+            local_stream.merge_state(st)
+    merged = local_stream.finalize()
+    ref_stream = StreamingF1("ego4d_av_gaze_forecast")
+    ref_stream.update(preds, labels_hm, labels)  # the single-host global pass
+    ref = ref_stream.finalize()
+    for k in ("f1", "recall", "precision", "threshold", "auc"):
+        assert abs(merged[k] - ref[k]) < 1e-6, (k, merged[k], ref[k])
+
     # ---- master-only checkpointing
     from csts_tpu.utils import checkpoint as cu
 

@@ -933,3 +933,51 @@ def test_merge_host_results_dedupes_across_stripes():
     merged = _merge_host_results([host0, host1, host2])
     assert merged["index"] == [0, 2, 4, 1, 3, 5]
     assert merged["pred_xy"] == ["a0", "a2", "a4", "b1", "b3", "c5"]
+
+
+def test_loader_wrap_and_bounded_lookahead():
+    """Two loader contracts: (a) wrap-padding fills a batch even when the pad
+    exceeds the dataset size (np.resize cycling, not a short batch); (b) the
+    fetch look-ahead is bounded — consuming one batch of a long epoch must not
+    have decoded the whole epoch (the old implementation submitted every
+    batch's futures up front)."""
+    import threading
+    import time
+
+    from csts_tpu.data.loader import GazeLoader
+
+    fetched = []
+    lock = threading.Lock()
+
+    class CountingDS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i, rng=None):
+            with lock:
+                fetched.append(i)
+            return {"video": np.zeros((1,), np.float32), "audio": np.zeros((1,), np.float32),
+                    "labels": np.zeros((1,), np.float32), "labels_hm": np.zeros((1,), np.float32),
+                    "index": i}
+
+    # (a) dataset of 3 rows, batch 8: pad of 5 > dataset size -> full cyclic batch
+    class TinyDS(CountingDS):
+        def __len__(self):
+            return 3
+
+    batch = next(iter(GazeLoader(TinyDS(), batch_size=8, shuffle=False, num_workers=2)))
+    assert batch["index"].shape == (8,)
+    np.testing.assert_array_equal(batch["index"], [0, 1, 2, 0, 1, 2, 0, 1])
+
+    # (b) 32 batches of 2; consume one, give workers a beat, assert the
+    # look-ahead stayed near the window instead of racing to all 64 samples
+    with lock:
+        fetched.clear()
+    loader = GazeLoader(CountingDS(), batch_size=2, shuffle=False, num_workers=2)
+    it = iter(loader)
+    next(it)
+    time.sleep(0.3)
+    with lock:
+        n_fetched = len(fetched)
+    it.close()
+    assert n_fetched <= 12, f"look-ahead fetched {n_fetched} samples — unbounded?"
