@@ -183,11 +183,16 @@ class ValGazeMeter:
     iter_toc = TrainGazeMeter.iter_toc
     data_toc = TrainGazeMeter.data_toc
 
-    def update_stats(self, f1, recall, precision, labels, threshold, fixation_idx: int = 0):
+    def update_stats(self, f1, recall, precision, labels, threshold,
+                     fixation_idx: int = 0, weight: Optional[int] = None):
+        """``weight`` (the batch's fixation-frame count) may be precomputed —
+        the trainer counts it ON DEVICE from the global batch, since multi-host
+        ``labels`` is a global sharded array np.asarray cannot read."""
         self.f1.add_value(f1)
         self.recall.add_value(recall)
         self.precision.add_value(precision)
-        weight = int(np.sum(np.asarray(labels)[:, :, 2] == fixation_idx))
+        if weight is None:
+            weight = int(np.sum(np.asarray(labels)[:, :, 2] == fixation_idx))
         self.f1_total += f1 * weight
         self.recall_total += recall * weight
         self.precision_total += precision * weight

@@ -317,6 +317,13 @@ def _eval_epoch(val_loader, state, eval_step, meter, cur_epoch, cfg, mesh):
     )
     # validate the smoothed weights when EMA is on (SOLVER.EMA_DECAY)
     eval_params = state.ema if state.ema is not None else state.params
+    # fixation count on device: the GLOBAL batch's weight as a replicated
+    # scalar — multi-host labels are global sharded arrays a host-side
+    # np.sum cannot read (and per-host counts would mis-weight the global
+    # f1 scalars)
+    import jax as _jax
+
+    count_fix = _jax.jit(lambda l: (l[:, :, 2] == fix_idx).sum())
     for cur_iter, batch in enumerate(prefetch):
         meter.data_toc()
         preds = eval_step(eval_params, batch)
@@ -325,7 +332,8 @@ def _eval_epoch(val_loader, state, eval_step, meter, cur_epoch, cfg, mesh):
             preds_rescaled, batch["labels_hm"], batch["labels"], dataset_name
         )
         meter.iter_toc()
-        meter.update_stats(f1, recall, precision, np.asarray(batch["labels"]), threshold, fix_idx)
+        meter.update_stats(f1, recall, precision, None, threshold, fix_idx,
+                           weight=int(count_fix(batch["labels"])))
         meter.log_iter_stats(cur_epoch, cur_iter)
         meter.iter_tic()
     meter.log_epoch_stats(cur_epoch)
